@@ -1,0 +1,76 @@
+"""Two-sample KS tests + Fisher combination — port of ``utils/ks_utils.py``
+and ``utils/hpo_metrics.py`` (identical numerics, incl. the 1e-300 floor and
+200-digit mpmath log-sum with a pure-math fallback)."""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, List, Tuple
+
+import numpy as np
+
+
+def ks_p(a, b) -> float:
+    """KS 2-sample p-value with the reference's NaN handling
+    (``utils/ks_utils.py:7-17``)."""
+    a = np.asarray(a, dtype=np.float64).ravel()
+    b = np.asarray(b, dtype=np.float64).ravel()
+    if a.size == 0 or b.size == 0:
+        return float("nan")
+    a = a[~np.isnan(a)]
+    b = b[~np.isnan(b)]
+    if a.size == 0 or b.size == 0:
+        return float("nan")
+    from scipy import stats
+
+    _, p = stats.ks_2samp(a, b)
+    return float(p)
+
+
+def fisher_combine(p_values: List[float]) -> float:
+    """Fisher's method over valid p-values (``utils/ks_utils.py:20-29``):
+    chi2 survival of ``-2 * sum(log p)`` with 2k dof, floored at 1e-300.
+    NaN and non-positive p-values are dropped."""
+    vals = [p for p in p_values if p == p and p > 0.0]
+    if not vals:
+        return float("nan")
+    try:
+        from mpmath import log, mp
+
+        mp.dps = 200
+        chi_stat = float(-2 * mp.fsum([log(mp.mpf(p)) for p in vals]))
+    except Exception:  # pragma: no cover
+        chi_stat = -2.0 * sum(math.log(p) for p in vals)
+    dof = 2 * len(vals)
+    try:
+        from scipy.stats import chi2
+
+        combined = chi2.sf(chi_stat, dof)
+    except Exception:  # pragma: no cover - normal approx (hpo_metrics.py:51-58)
+        z = (chi_stat - dof) / math.sqrt(2.0 * dof)
+        combined = 0.5 * (1.0 - math.erf(z / math.sqrt(2.0)))
+    return float(max(combined, 1e-300))
+
+
+def macro_ks_pvalues(
+    gt: Dict[str, np.ndarray], pred: Dict[str, np.ndarray]
+) -> Tuple[Dict[str, float], float]:
+    """Per-macro KS p-values (GT vs predicted) + Fisher-combined p.
+
+    Keys follow ``utils/hpo_metrics.py:MACRO_FILES`` (the six scored macros;
+    ``com_movement`` is recorded but not part of the reference's combined
+    score, so it is excluded from the combination here too).
+    """
+    scored = [
+        "collision_histogram",
+        "group_collision_count",
+        "leaving_count",
+        "sharp_turn_count_30",
+        "sharp_turn_count_45",
+        "sticking_histogram",
+    ]
+    per: Dict[str, float] = {}
+    for key in scored:
+        per[key] = ks_p(gt.get(key, []), pred.get(key, []))
+    combined = fisher_combine(list(per.values()))
+    return per, combined

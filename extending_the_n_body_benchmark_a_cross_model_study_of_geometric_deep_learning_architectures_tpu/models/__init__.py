@@ -1,0 +1,92 @@
+"""Model registry — the TPU analogue of ``utils/utils_train.py:create_model``.
+
+Every model is a flax module with the uniform dense interface::
+
+    out = model.apply(params, scene, mask)    # out: [B, N, 3 * num_targets]
+
+where ``scene`` is a :class:`~..core.scene.Scene` and ``mask`` the
+``[B, N, N]`` neighbour mask.  ``create_model(model_type, **overrides)``
+instantiates from the per-model defaults of the reference ``config.yaml``.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict
+
+from .egnn_mc import EGNNMC
+from .graph_transformer import GraphTransformer
+from .painn import PaiNN
+
+MODEL_REGISTRY: Dict[str, Any] = {
+    "egnn_mc": EGNNMC,
+    "painn": PaiNN,
+    "graph_transformer": GraphTransformer,
+}
+
+# Defaults mirroring the reference config.yaml models section.
+MODEL_DEFAULTS: Dict[str, Dict[str, Any]] = {
+    "egnn_mc": dict(
+        num_layers=6,
+        hidden_node_dim=128,
+        hidden_edge_dim=128,
+        hidden_coord_dim=128,
+        node_input_dim=2,
+        edge_attr_dim=4,
+        activation="silu",
+        coords_weight=1.0,
+        recurrent=True,
+        norm_diff=True,
+        tanh=True,
+    ),
+    "painn": dict(
+        hidden_features=192,
+        num_layers=6,
+        num_rbf=64,
+        cutoff=10.0,
+        use_velocity_input=True,
+        include_velocity_norm=True,
+    ),
+    "graph_transformer": dict(hidden_features=96, num_layers=4, num_heads=4),
+}
+
+
+def register_model(name: str, cls, defaults: Dict[str, Any] | None = None) -> None:
+    MODEL_REGISTRY[name] = cls
+    MODEL_DEFAULTS.setdefault(name, defaults or {})
+
+
+def create_model(model_type: str, **overrides):
+    """Instantiate a model by registry name with config.yaml-style defaults."""
+    if model_type not in MODEL_REGISTRY:
+        raise ValueError(
+            f"Unknown model_type '{model_type}'. Known: {sorted(MODEL_REGISTRY)}"
+        )
+    kwargs = dict(MODEL_DEFAULTS.get(model_type, {}))
+    kwargs.update({k: v for k, v in overrides.items() if v is not None})
+    return MODEL_REGISTRY[model_type](**kwargs)
+
+
+def _register_extended_models() -> None:
+    """Import model families implemented in later milestones, if present."""
+    from .segnn import SEGNN  # noqa: F401
+
+    register_model(
+        "segnn",
+        SEGNN,
+        dict(hidden_features=96, lmax_attr=1, lmax_h=1, num_layers=20),
+    )
+    from .ponita import PONITA  # noqa: F401
+
+    register_model("ponita", PONITA, dict(hidden_features=128, num_layers=8))
+    from .cgenn import CGENN  # noqa: F401
+
+    register_model("cgenn", CGENN, dict(hidden_features=96, num_layers=4))
+    try:
+        from .equiformer_v2 import EquiformerV2  # noqa: F401
+
+        register_model("equiformer_v2", EquiformerV2, dict())
+    except ImportError:
+        pass
+
+
+_register_extended_models()

@@ -1,0 +1,169 @@
+"""EGNN-MC: E(n)-equivariant GNN with velocity channel and per-target heads.
+
+TPU-native dense reformulation of ``models/egnn_mc/egnn_mc.py`` (torch +
+scatter).  Node/edge tensors are ``[B, N, ...]`` / ``[B, N, N, ...]`` and all
+scatter-means are masked reductions, so the whole forward is a handful of
+batched matmuls + VPU elementwise ops that XLA fuses.
+
+Featurization (the reference's dataloader step,
+``dataloaders/egnn_mc_n_body_dataloader.py:8-61``) is folded into
+:meth:`EGNNMC.__call__` so that train/rollout run it inside the same jit:
+
+* node features ``x = [|v|, m]``
+* edge attrs   ``[m_i m_j, v_i·r̂, v_j·r̂, d^2]`` with ``r̂ = (r_i - r_j)/d``
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..core import graph as G
+from ..core.scene import Scene
+from .common import MLP, TorchLinear, get_activation, xavier_uniform_gain
+
+
+class _EGNNBlock(nn.Module):
+    """One message-passing block (``egnn_mc.py:45-186``)."""
+
+    hidden_node_dim: int
+    hidden_edge_dim: int
+    hidden_coord_dim: int
+    edge_attr_dim: int
+    activation: str = "silu"
+    coords_weight: float = 1.0
+    recurrent: bool = True
+    norm_diff: bool = False
+    tanh: bool = False
+
+    @nn.compact
+    def __call__(self, h, coord, velocity, edge_attr, mask):
+        """h [B,N,H]; coord, velocity [B,N,3]; edge_attr [B,N,N,E]; mask [B,N,N]."""
+        act = get_activation(self.activation)
+
+        # --- coord2radial (egnn_mc.py:155-164): receiver-minus-sender diffs.
+        coord_diff = G.rel_positions(coord)  # [B,N,N,3]
+        radial = jnp.sum(coord_diff * coord_diff, axis=-1, keepdims=True)
+        if self.norm_diff:
+            norm = jnp.clip(G.safe_sqrt(radial), 1.0, None)
+            coord_diff = coord_diff / norm
+
+        # --- edge model (egnn_mc.py:108-122): [h_i, h_j, d^2, edge_attr].
+        n = h.shape[1]
+        h_i = jnp.broadcast_to(h[:, :, None, :], h.shape[:1] + (n, n, h.shape[-1]))
+        h_j = jnp.broadcast_to(h[:, None, :, :], h.shape[:1] + (n, n, h.shape[-1]))
+        edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
+        m_ij = MLP(
+            hidden=[self.hidden_edge_dim],
+            out=self.hidden_edge_dim,
+            activation=self.activation,
+            final_act=True,
+        )(edge_in)
+
+        # --- coord model (egnn_mc.py:135-153): scalar weight per edge, tiny init.
+        w = TorchLinear(self.hidden_coord_dim)(m_ij)
+        w = act(w)
+        w = nn.Dense(
+            1,
+            use_bias=False,
+            kernel_init=xavier_uniform_gain(0.001),
+            dtype=w.dtype,
+            param_dtype=jnp.float32,
+        )(w)
+        if self.tanh:
+            w = jnp.tanh(w)
+        trans = jnp.clip(w * coord_diff, -100.0, 100.0)  # [B,N,N,3]
+        coord = coord + G.masked_segment_mean(trans, mask) * self.coords_weight
+
+        # --- velocity-gated coord update (egnn_mc.py:178-183).
+        w_vel = MLP(
+            hidden=[self.hidden_coord_dim], out=1, activation=self.activation
+        )(h)  # [B,N,1]
+        coord = coord + w_vel * velocity
+
+        # --- node model (egnn_mc.py:124-133): masked mean of messages.
+        agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
+        h_out = MLP(
+            hidden=[self.hidden_node_dim],
+            out=self.hidden_node_dim,
+            activation=self.activation,
+        )(jnp.concatenate([h, agg], axis=-1))
+        if self.recurrent:
+            h_out = h + h_out
+        return h_out, coord
+
+
+class EGNNMC(nn.Module):
+    """Full model (``egnn_mc.py:211-306``): embedding, L blocks, vector heads.
+
+    ``__call__(scene, mask) -> [B, N, 3*num_targets]`` (pos_dt ‖ vel).
+    """
+
+    hidden_node_dim: int = 128
+    hidden_edge_dim: int = 128
+    hidden_coord_dim: int = 128
+    num_layers: int = 6
+    node_input_dim: int = 2
+    edge_attr_dim: int = 4
+    activation: str = "silu"
+    coords_weight: float = 1.0
+    recurrent: bool = True
+    norm_diff: bool = True
+    tanh: bool = True
+    num_targets: int = 2
+
+    def featurize(self, scene: Scene, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
+        """Node features and edge attributes of the egnn_mc dataloader
+        (``egnn_mc_n_body_dataloader.py:37-59``)."""
+        speed = jnp.linalg.norm(scene.vel, axis=-1, keepdims=True)
+        x = jnp.concatenate([speed, scene.mass], axis=-1)  # [B,N,2]
+
+        edge_vec = G.rel_positions(scene.pos)  # pos_i - pos_j
+        dist_sq = jnp.sum(edge_vec * edge_vec, axis=-1, keepdims=True)
+        dist = jnp.clip(G.safe_sqrt(dist_sq), 1e-12, None)
+        direction = edge_vec / dist
+        v_i = scene.vel[:, :, None, :]
+        v_j = scene.vel[:, None, :, :]
+        proj_i = jnp.sum(v_i * direction, axis=-1, keepdims=True)
+        proj_j = jnp.sum(v_j * direction, axis=-1, keepdims=True)
+        mass_prod = scene.mass[:, :, None, :] * scene.mass[:, None, :, :]
+        edge_attr = jnp.concatenate([mass_prod, proj_i, proj_j, dist_sq], axis=-1)
+        return x, edge_attr
+
+    @nn.compact
+    def __call__(self, scene: Scene, mask, train: bool = False):
+        x, edge_attr = self.featurize(scene, mask)
+        h = TorchLinear(self.hidden_node_dim)(x)
+        coord = scene.pos
+        velocity = scene.vel
+
+        for _ in range(self.num_layers):
+            h, coord = _EGNNBlock(
+                hidden_node_dim=self.hidden_node_dim,
+                hidden_edge_dim=self.hidden_edge_dim,
+                hidden_coord_dim=self.hidden_coord_dim,
+                edge_attr_dim=self.edge_attr_dim,
+                activation=self.activation,
+                coords_weight=self.coords_weight,
+                recurrent=self.recurrent,
+                norm_diff=self.norm_diff,
+                tanh=self.tanh,
+            )(h, coord, velocity, edge_attr, mask)
+
+        pos_dt = coord - scene.pos
+        head_in = jnp.concatenate([h, pos_dt, velocity], axis=-1)
+        outs = [
+            MLP(
+                hidden=[self.hidden_node_dim, self.hidden_node_dim],
+                out=3,
+                activation=self.activation,
+            )(head_in)
+            for _ in range(self.num_targets)
+        ]
+        return jnp.concatenate(outs, axis=-1)
+
+    def get_model_size(self) -> int:
+        """Width used by the Noam LR schedule (``egnn_mc.py:305-306``)."""
+        return self.hidden_node_dim

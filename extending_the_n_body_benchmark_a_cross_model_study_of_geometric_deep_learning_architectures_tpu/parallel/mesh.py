@@ -1,0 +1,62 @@
+"""Device mesh construction and sharding specs.
+
+The reference has *no* distributed backend — a single CUDA device picked via
+nvidia-smi (``utils/gpu_selector.py:51-99``; SURVEY.md §5.8).  The TPU-native
+replacement is a first-class mesh layer:
+
+* axis ``sim``  — the batch of independent simulations (the only semantic
+  "data parallel" axis of the workload, SURVEY.md §2 parallelism item 1).
+* axis ``body`` — optional sharding of the body dimension for large N; the
+  dense ``[B, N, N]`` pairwise tensors partition over one N axis and XLA
+  GSPMD inserts the ICI collectives (the N-body analogue of blockwise/ring
+  attention, SURVEY.md §5.7).
+
+Multi-host: call :func:`initialize_distributed` before mesh construction;
+``jax.devices()`` then spans all hosts and the same code runs unchanged.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+SIM_AXIS = "sim"
+BODY_AXIS = "body"
+
+
+def initialize_distributed(**kwargs) -> None:
+    """Multi-host init (``jax.distributed.initialize``); no-op if single."""
+    try:
+        jax.distributed.initialize(**kwargs)
+    except Exception:
+        pass
+
+
+def make_mesh(
+    n_devices: Optional[int] = None,
+    body_parallel: int = 1,
+    devices: Optional[Sequence] = None,
+) -> Mesh:
+    """Mesh of shape ``(sim, body)`` over the first ``n_devices`` devices."""
+    devs = list(devices if devices is not None else jax.devices())
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    n = len(devs)
+    if n % body_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by body_parallel={body_parallel}")
+    arr = np.array(devs).reshape(n // body_parallel, body_parallel)
+    return Mesh(arr, (SIM_AXIS, BODY_AXIS))
+
+
+def scene_sharding(mesh: Mesh, shard_bodies: bool = False) -> NamedSharding:
+    """Sharding for ``[B, N, ...]`` scene arrays: batch over ``sim`` and
+    (optionally) bodies over ``body``."""
+    spec = P(SIM_AXIS, BODY_AXIS) if shard_bodies else P(SIM_AXIS)
+    return NamedSharding(mesh, spec)
+
+
+def replicate(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())

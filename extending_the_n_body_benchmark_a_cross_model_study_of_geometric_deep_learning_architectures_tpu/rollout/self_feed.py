@@ -1,0 +1,122 @@
+"""Self-feed rollout: the model eats its own predictions for ~1000 steps.
+
+TPU-native re-design of ``helper_scripts/infer_self_feed.py:run_inference``.
+The reference loops in Python — rebuilding a PyG graph per step and calling
+the model ~1000 times with host round-trips (``infer_self_feed.py:99-181``).
+Here the *entire* rollout (graph build + featurize + model + pos_dt
+integration + explosion guard) is one jitted ``lax.scan``, so a checkpoint
+evaluation is a single device program.  This is where the >=10x speedup over
+the GH200 baseline comes from (BASELINE.md north-star metric).
+
+Explosion handling: the reference's generic path restarts the rollout a few
+steps back when ``|pred| > 1e9`` and raises ``SelfFeedError(steps_survived)``
+after 20 tries (``self_feed.py:26-39,328-359``).  A data-dependent rollback
+is scan-hostile, so we keep the *semantics* (a diverged sim stops evolving
+and we report how many steps survived) with a per-sim freeze mask: once a
+simulation exceeds the threshold its state stops updating, and
+``steps_survived`` reports the first explosion step (min over sims), exactly
+the quantity the trainer logs (``trainer.py:1040-1047``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core import graph as G
+from ..core.scene import Scene
+
+EXPLOSION_THRESHOLD = 1e9  # self_feed.py:26
+
+
+def make_rollout_fn(
+    model,
+    num_steps: int,
+    num_neighbors: Optional[int] = None,
+    target: str = "pos_dt+vel",
+    explosion_threshold: float = EXPLOSION_THRESHOLD,
+):
+    """Build a jitted rollout: ``fn(params, scene0) -> (loc, vel, survived)``.
+
+    Args:
+      model: flax module with ``apply(params, scene, mask) -> [B,N,3k]``.
+      num_steps: total saved frames T (the rollout runs T-1 model calls,
+        matching ``infer_self_feed.py:99``).
+      num_neighbors: KNN degree; ``None`` means fully connected, the
+        reference's rollout default (``infer_self_feed.py:58``).
+    Returns:
+      ``loc, vel`` of shape ``[B, T, N, 3]`` (frame 0 = initial state) and
+      ``survived [B]`` int32 per-sim surviving step counts.
+    """
+    pos_dt = target.startswith("pos_dt")
+
+    @jax.jit
+    def rollout(params, scene0: Scene):
+        n = scene0.pos.shape[1]
+        k = num_neighbors if (num_neighbors and 0 < num_neighbors < n) else n - 1
+        mass = scene0.mass
+        force0 = jnp.zeros_like(scene0.pos)
+
+        def step(carry, _):
+            pos, vel, frozen = carry
+            mask = G.knn_mask(pos, k)
+            scene = Scene(pos=pos, vel=vel, force=force0, mass=mass)
+            out = model.apply(params, scene, mask)
+            new_pos = pos + out[..., :3] if pos_dt else out[..., :3]
+            new_vel = out[..., 3:6]
+            bad = jnp.any(
+                (jnp.abs(new_pos) > explosion_threshold)
+                | ~jnp.isfinite(new_pos)
+                | ~jnp.isfinite(new_vel),
+                axis=(1, 2),
+            )
+            frozen = frozen | bad
+            keep = frozen[:, None, None]
+            new_pos = jnp.where(keep, pos, new_pos)
+            new_vel = jnp.where(keep, vel, new_vel)
+            return (new_pos, new_vel, frozen), (new_pos, new_vel, frozen)
+
+        frozen0 = jnp.zeros(scene0.pos.shape[0], dtype=bool)
+        _, (locs, vels, frozens) = jax.lax.scan(
+            step, (scene0.pos, scene0.vel, frozen0), None, length=num_steps - 1
+        )
+        loc = jnp.concatenate([scene0.pos[None], locs], axis=0).swapaxes(0, 1)
+        vel = jnp.concatenate([scene0.vel[None], vels], axis=0).swapaxes(0, 1)
+        survived = jnp.sum(~frozens, axis=0).astype(jnp.int32)  # [B]
+        return loc, vel, survived
+
+    return rollout
+
+
+def run_self_feed(
+    model,
+    params,
+    dataset,
+    num_steps: Optional[int] = None,
+    num_neighbors: Optional[int] = None,
+    batch_size: Optional[int] = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
+    """Full checkpoint evaluation rollout against fresh ground truth.
+
+    Mirrors ``run_inference`` (``infer_self_feed.py:20-254``): draw fresh GT
+    trajectories, seed the model with frame 0, roll forward T-1 steps.
+
+    Returns ``(loc_actual, vel_actual, loc_pred, vel_pred, steps_survived)``
+    with ``loc/vel`` of shape ``[B, T, N, 3]``.
+    """
+    loc_gt, vel_gt, force_gt, mass = dataset.get_ground_truth_trajectories(batch_size)
+    T = int(loc_gt.shape[1])
+    if num_steps is not None and 0 < num_steps < T:
+        T = num_steps
+        loc_gt, vel_gt = loc_gt[:, :T], vel_gt[:, :T]
+    scene0 = Scene(
+        pos=loc_gt[:, 0], vel=vel_gt[:, 0], force=force_gt[:, 0], mass=mass
+    )
+    fn = make_rollout_fn(
+        model, T, num_neighbors=num_neighbors, target=dataset.target
+    )
+    loc_pred, vel_pred, survived = fn(params, scene0)
+    return loc_gt, vel_gt, loc_pred, vel_pred, int(survived.min())

@@ -1,0 +1,123 @@
+"""Training losses — pure-jnp ports of ``training/losses.py``.
+
+All losses take ``(pred [B,N,3k], scene, y [B,N,3k])`` and return a scalar.
+MSE means over every element, like ``torch.nn.MSELoss`` default reduction.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+
+from ..core.physics import energies
+from ..core.scene import Scene
+
+
+def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    d = a - b
+    return jnp.mean(d * d)
+
+
+def target_common_loss(
+    pred: jnp.ndarray,
+    scene: Scene,
+    y: jnp.ndarray,
+    targets: Sequence[str],
+    weights: Dict[str, float],
+) -> Tuple[jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Weighted per-3-slice MSE (``training/losses.py:22-45``).
+
+    Weight lookup mirrors the construction order: position / velocity / force
+    weights keyed by target component family.
+    """
+    total = 0.0
+    terms: Dict[str, jnp.ndarray] = {}
+    for i, t in enumerate(targets):
+        sl = mse(pred[..., 3 * i : 3 * (i + 1)], y[..., 3 * i : 3 * (i + 1)])
+        if t in ("pos", "pos_dt"):
+            w, name = weights.get("position", 1.0), "Position loss"
+        elif t in ("vel", "vel_dt"):
+            w, name = weights.get("velocity", 1.0), "Velocity loss"
+        else:
+            w, name = weights.get("force", 1.0), "Force loss"
+        terms[name] = w * sl
+        total = total + w * sl
+    return total, terms
+
+
+def centre_of_mass_loss(pred, scene: Scene, y, weight: float = 1.0):
+    """CoM MSE between predicted and true next positions
+    (``training/losses.py:48-84``) — dense mean over the body axis."""
+    pos_pred = scene.pos + pred[..., :3]
+    pos_true = scene.pos + y[..., :3]
+    com_pred = jnp.mean(pos_pred, axis=1)
+    com_true = jnp.mean(pos_true, axis=1)
+    return weight * mse(com_pred, com_true)
+
+
+def momentum_loss(pred, scene: Scene, y, weight: float = 0.0001):
+    """Frame-to-frame momentum conservation penalty
+    (``training/losses.py:131-241``): MSE(total predicted momentum,
+    total current momentum) per simulation."""
+    mom_cur = jnp.sum(scene.mass * scene.vel, axis=1)  # [B,3]
+    mom_pred = jnp.sum(scene.mass * pred[..., 3:6], axis=1)
+    return weight * mse(mom_pred, mom_cur)
+
+
+def energy_loss(pred, scene: Scene, y, G: float, softening: float, weight: float = 1.0):
+    """Energy MSE between predicted and target next states
+    (``training/losses.py:87-128``) — computed on-device instead of the
+    reference's host NumPy round-trip."""
+    pos_pred = scene.pos + pred[..., :3]
+    pos_true = scene.pos + y[..., :3]
+    _, _, te_pred = energies(pos_pred, pred[..., 3:6], scene.mass, G, softening)
+    _, _, te_true = energies(pos_true, y[..., 3:6], scene.mass, G, softening)
+    return weight * mse(te_pred, te_true)
+
+
+def build_loss_fn(args) -> Callable:
+    """Compose the loss stack like ``Trainer.initialize_losses``
+    (``trainer.py:155-168``).  ``args`` is the flat config namespace."""
+    targets = args.target.split("+")
+    weights = {
+        "position": getattr(args, "position_loss_weight", 1.0),
+        "velocity": getattr(args, "velocity_loss_weight", 1.0),
+        "force": getattr(args, "force_loss_weight", 1.0),
+    }
+    use_com = getattr(args, "com_loss", False)
+    use_energy = getattr(args, "energy_loss", False)
+    use_momentum = getattr(args, "momentum_loss", False)
+    momentum_w = getattr(args, "momentum_loss_weight", 0.0001)
+    G = getattr(args, "interaction_strength", 2.0)
+    soft = getattr(args, "softening", 0.2)
+
+    def loss_fn(pred, scene, y):
+        total, terms = target_common_loss(pred, scene, y, targets, weights)
+        terms["Total target loss"] = total
+        if use_com:
+            l = centre_of_mass_loss(pred, scene, y)
+            terms["Centre of mass loss"] = l
+            total = total + l
+        if use_energy:
+            l = energy_loss(pred, scene, y, G, soft)
+            terms["Energy loss"] = l
+            total = total + l
+        if use_momentum:
+            l = momentum_loss(pred, scene, y, momentum_w)
+            terms["Momentum loss"] = l
+            total = total + l
+        return total, terms
+
+    return loss_fn
+
+
+def percentage_errors(pred, y, targets: List[str]) -> Dict[str, jnp.ndarray]:
+    """Per-target relative L2 error in percent (``trainer.py:480-490``)."""
+    out = {}
+    for i, t in enumerate(targets):
+        err = pred[..., 3 * i : 3 * (i + 1)] - y[..., 3 * i : 3 * (i + 1)]
+        err_l2 = jnp.linalg.norm(err, axis=-1)
+        tgt_l2 = jnp.linalg.norm(y[..., 3 * i : 3 * (i + 1)], axis=-1)
+        out[f"{t}_perc_error"] = jnp.mean(err_l2 / (tgt_l2 + 1e-12)) * 100.0
+    return out

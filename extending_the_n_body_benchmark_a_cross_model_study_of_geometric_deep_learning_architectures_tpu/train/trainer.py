@@ -1,0 +1,342 @@
+"""The training loop — TPU re-design of the reference ``trainer.py``.
+
+One optimizer step is a single jitted XLA program: KNN graph build +
+featurization + forward + loss + backward + clip + AdamW + Noam schedule all
+fused on device (the reference splits this across dataloader preprocess,
+model forward and torch optimizer, ``trainer.py:233-358``).  Epochs, metric
+aggregation, checkpointing, self-feed orchestration, crash handling and the
+run-dir artifact layout mirror the reference trainer 1:1.
+
+Key parity points (file:line into /root/reference):
+* AdamW betas/eps/wd + Noam LR      trainer.py:170-195   -> train.optim
+* grad clip value/norm              trainer.py:197-205
+* NaN-grad discard                  trainer.py:207-213 (optax.apply_if_finite)
+* per-target % error metrics        trainer.py:480-490
+* run dir runs/<model>/<timestamp>  trainer.py:66-69
+* checkpoint payload                trainer.py:599-612
+* crash/interrupt save              trainer.py:1064-1076
+* self-feed cadence + KS logging    trainer.py:929-1010,668-886
+"""
+
+from __future__ import annotations
+
+import datetime
+import json
+import os
+import time
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ..core import graph as G
+from ..core.physics import energy_series
+from ..core.scene import Scene
+from ..data.gravity_otf import GravityDatasetOtf
+from ..metrics import artifacts
+from ..metrics.ks import fisher_combine, ks_p
+from ..models import create_model
+from ..rollout.self_feed import run_self_feed
+from ..utils.config import namespace_to_dict, save_config
+from .checkpoint import load_checkpoint, save_checkpoint
+from .logging_utils import MetricsLogger, RunningMean
+from .losses import build_loss_fn, percentage_errors
+from .optim import create_optimizer
+
+ENERGY_ERROR_THRESHOLDS = [2.5, 5]  # trainer.py:27
+
+
+class Trainer:
+    def __init__(self, model, dataset: GravityDatasetOtf, args, resolved_config=None):
+        self.args = args
+        self.model = model
+        self.dataset = dataset
+        self.targets = args.target.split("+")
+        self.num_neighbors = args.num_neighbors or (args.num_atoms - 1)
+        self.dtype = {
+            "double": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+            "single": jnp.float32,
+            "bfloat16": jnp.bfloat16,
+        }[getattr(args, "precision_mode", "single")]
+
+        seed = args.seed if getattr(args, "seed", None) is not None else 0
+        self._rng = jax.random.PRNGKey(seed)
+
+        # Parameter init from a dummy scene (static shapes).
+        scene0, y0 = dataset.get_batch()
+        scene0 = scene0.astype(self.dtype)
+        mask0 = G.knn_mask(scene0.pos, self.num_neighbors)
+        self._rng, init_key = jax.random.split(self._rng)
+        self.params = model.init(init_key, scene0, mask0)
+        self.n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(self.params))
+
+        self.tx = create_optimizer(
+            learning_rate=args.learning_rate,
+            model_size=model.get_model_size(),
+            factor=args.learning_rate_factor,
+            warmup=args.learning_rate_warmup_steps,
+            clip_value=args.clip_gradients_value,
+            clip_norm=args.clip_gradients_norm,
+            discard_nan_gradients=args.discard_nan_gradients,
+        )
+        self.opt_state = self.tx.init(self.params)
+
+        self.loss_fn = build_loss_fn(args)
+        self.step_count = 0  # counts finished epochs, like the reference
+        self.best_metrics: Dict[str, float] = {}
+
+        ts = datetime.datetime.now().strftime("%Y-%m-%d_%H-%M-%S")
+        suffix = "" if args.run_name is None else f"__{args.run_name}"
+        self.save_dir_path = os.path.join("runs", args.model_type, f"{ts}{suffix}")
+        os.makedirs(self.save_dir_path, exist_ok=True)
+        self.logger = MetricsLogger(self.save_dir_path)
+
+        if resolved_config is not None:
+            save_config(resolved_config, self.save_dir_path)
+        self._save_run_artifacts()
+
+        if args.model_path:
+            self.load_model_from_checkpoint(args.model_path)
+
+        self._train_step = self._build_train_step()
+
+    # ----------------------------------------------------------------- build
+
+    def _build_train_step(self):
+        model = self.model
+        loss_fn = self.loss_fn
+        tx = self.tx
+        k = self.num_neighbors
+        targets = self.targets
+
+        @jax.jit
+        def step(params, opt_state, scene: Scene, y, rng):
+            def lf(p):
+                mask = G.knn_mask(scene.pos, k)
+                pred = model.apply(p, scene, mask, train=True, rngs={"dropout": rng})
+                total, terms = loss_fn(pred, scene, y)
+                return total, (pred, terms)
+
+            (loss, (pred, terms)), grads = jax.value_and_grad(lf, has_aux=True)(params)
+            updates, new_opt = tx.update(grads, opt_state, params)
+            new_params = optax.apply_updates(params, updates)
+            perc = percentage_errors(pred, y, targets)
+            return new_params, new_opt, loss, terms, perc
+
+        return step
+
+    # ------------------------------------------------------------------ io
+
+    def _save_run_artifacts(self):
+        with open(os.path.join(self.save_dir_path, "training_args.json"), "w") as f:
+            json.dump({"args": namespace_to_dict(self.args)}, f, indent=4, default=str)
+        with open(os.path.join(self.save_dir_path, "model_params.json"), "w") as f:
+            attrs = {
+                k: v
+                for k, v in vars(self.model).items()
+                if isinstance(v, (int, float, str, bool, tuple, list, type(None)))
+            }
+            attrs["num_params"] = self.n_params
+            json.dump(attrs, f, indent=4, default=str)
+        ds_dir = os.path.join(self.save_dir_path, f"{self.args.dataset_name}_dataset")
+        os.makedirs(ds_dir, exist_ok=True)
+        with open(os.path.join(ds_dir, "metadata.json"), "w") as f:
+            json.dump(self.dataset.get_serializable_attributes(), f, indent=4)
+
+    def save_model(self, filename: str = "model.ckpt", final: bool = False):
+        path = save_checkpoint(
+            self.save_dir_path,
+            self.params,
+            self.opt_state,
+            self.step_count,
+            self.best_metrics,
+            filename=filename,
+        )
+        if final:
+            print(
+                f"To continue training: --trainer.model_path {path} "
+                f"--config {os.path.join(self.save_dir_path, 'config.yaml')}"
+            )
+        return path
+
+    def load_model_from_checkpoint(self, path: str):
+        ckpt = load_checkpoint(path)
+        # Restore into the freshly-initialised pytree structures.
+        self.params = jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, t.dtype), self.params, ckpt["params"]
+        )
+        self.opt_state = jax.tree_util.tree_map(
+            lambda t, s: jnp.asarray(s, np.asarray(t).dtype)
+            if hasattr(t, "dtype")
+            else s,
+            self.opt_state,
+            ckpt["opt_state"],
+        )
+        self.step_count = ckpt.get("step_count", 0)
+        self.best_metrics = ckpt.get("best_metrics", {})
+        print(f"Loaded model and optimizer state from {path}")
+
+    # ---------------------------------------------------------------- train
+
+    def train_one_epoch(self) -> Dict[str, float]:
+        n_steps = self.args.steps_per_epoch
+        means: Dict[str, RunningMean] = {}
+        t_epoch = time.time()
+        examples = 0
+        for _ in range(n_steps):
+            scene, y = self.dataset.get_batch()
+            scene = scene.astype(self.dtype)
+            y = y.astype(self.dtype)
+            self._rng, rng = jax.random.split(self._rng)
+            self.params, self.opt_state, loss, terms, perc = self._train_step(
+                self.params, self.opt_state, scene, y, rng
+            )
+            examples += scene.pos.shape[0]
+            # Device scalars -> host floats once per step (values are tiny).
+            means.setdefault("loss", RunningMean()).update(loss)
+            for name, v in {**terms, **perc}.items():
+                means.setdefault(name, RunningMean()).update(v)
+        dt = time.time() - t_epoch
+        log = {f"train/{k}": m.compute() for k, m in means.items()}
+        log["train/step"] = self.step_count
+        log["train/steps_per_sec"] = n_steps / dt
+        log["train/examples_per_sec"] = examples / dt
+        self.logger.log(log)
+        msg = " | ".join(f"{k.split('/')[-1]}: {v:.5f}" for k, v in log.items())
+        print(f"Epoch {self.step_count} | {msg}")
+        return log
+
+    def train(self):
+        start = time.time()
+        train_steps = self.args.train_steps
+        try:
+            while train_steps is None or self.step_count < train_steps:
+                self.train_one_epoch()
+                self.step_count += 1
+                if self.step_count % self.args.save_model_every == 0:
+                    self.save_model()
+                if self.step_count % self.args.test_macros_every == 0:
+                    try:
+                        self.run_self_feed_eval()
+                    except Exception as e:  # keep training (trainer.py:1050-1056)
+                        import traceback
+
+                        print(f"Couldn't run self-feed. Reason: {e}")
+                        traceback.print_exc()
+        except KeyboardInterrupt:
+            print("Training interrupted. Saving model...")
+            self.save_model(final=True)
+        except Exception as e:
+            self.save_model(final=True)
+            self.logger.alert("Training crashed", f"{self.args.model_type}: {e}")
+            raise
+        print(
+            f"Training for {self.step_count} steps took {time.time() - start:.2f} seconds"
+        )
+
+    # ------------------------------------------------------------- self-feed
+
+    def run_self_feed_eval(self) -> int:
+        """Rollout + macro KS + energy KS for the current checkpoint
+        (``trainer.py:929-1010`` + ``668-886``)."""
+        print(f"Running self feed (epoch {self.step_count - 1})")
+        save_dir = os.path.join(self.save_dir_path, "checkpoints", str(self.step_count))
+        loc_gt, vel_gt, loc_pred, vel_pred, survived = run_self_feed(
+            self.model,
+            self.params,
+            self.dataset,
+            num_steps=self.args.self_feed_limit_steps,
+            num_neighbors=None,  # rollout is fully connected (infer_self_feed.py:58)
+        )
+        per_macro, macro_combined, _, _ = artifacts.evaluate_rollout(
+            save_dir,
+            loc_gt,
+            vel_gt,
+            loc_pred,
+            vel_pred,
+            save_trajectory_npys=self.args.save_trajectory_npys,
+            plot=self.args.plot_macros,
+        )
+
+        G_ = self.dataset.interaction_strength
+        soft = self.dataset.softening
+        energies = {
+            "simulation": energy_series(loc_gt, vel_gt, G_, soft),
+            "self_feed": energy_series(loc_pred, vel_pred, G_, soft),
+        }
+        pvals = {
+            f"energy_{k}": ks_p(energies["simulation"][k], energies["self_feed"][k])
+            for k in ("total", "potential", "kinetic")
+        }
+        energy_combined = fisher_combine(list(pvals.values()))
+        artifacts.write_energy_metrics_json(save_dir, energies, pvals, energy_combined)
+
+        # Energy-ratio steps-within-threshold metric (trainer.py:693-705).
+        sim_total = np.asarray(energies["simulation"]["total"]).reshape(-1)
+        sf_total = np.asarray(energies["self_feed"]["total"]).reshape(-1)
+        m = min(len(sim_total), len(sf_total))
+        ratio = np.abs(sim_total[:m] / (sf_total[:m] + 1e-12))
+        steps_metric = {}
+        for t in ENERGY_ERROR_THRESHOLDS:
+            ok = np.where((1.0 / t < ratio) & (ratio < t))[0]
+            steps_metric[t] = int(ok[-1] + 1) if ok.size else 0
+
+        primary = ENERGY_ERROR_THRESHOLDS[0]
+        if steps_metric[primary] >= self.best_metrics.get("self_feed_steps", 0):
+            self.best_metrics["self_feed_steps"] = steps_metric[primary]
+            self.save_model(filename="model_best_self_feed.ckpt")
+
+        payload = {
+            "self_feed/steps_survived": int(survived),
+            "self_feed/energy_steps_within_threshold": steps_metric[primary],
+            "self_feed/step": self.step_count - 1,
+        }
+
+        def _log_p(prefix: str, val: float):
+            safe = max(float(val), 1e-300) if (val == val and val > 0.0) else 1e-300
+            payload[prefix] = safe
+            payload[f"{prefix}_log10"] = float(np.log10(safe))
+            payload[f"{prefix}_neglog10"] = float(-np.log10(safe))
+
+        for key, val in pvals.items():
+            _log_p(f"self_feed/ks_{key}", val)
+        _log_p("self_feed/ks_combined", energy_combined)
+        for key, val in per_macro.items():
+            _log_p(f"self_feed/ks_macro_{key}", val)
+        _log_p("self_feed/ks_macros_combined", macro_combined)
+        _log_p(
+            "self_feed/ks_all_combined",
+            fisher_combine(list(pvals.values()) + list(per_macro.values())),
+        )
+        self.logger.log(payload)
+        print(
+            f"Self feed: survived={survived} "
+            f"macro_combined_p={macro_combined:.3e} energy_combined_p={energy_combined:.3e}"
+        )
+        return int(survived)
+
+
+def create_trainer_from_args(args, resolved_config=None) -> Trainer:
+    """Factory mirroring ``train.main`` wiring (``train.py:35-95``)."""
+    model = create_model(args.model_type, **args.model_kwargs)
+    dataset = GravityDatasetOtf(
+        dataset_name=args.dataset_name,
+        target=args.target,
+        batch_size=args.batch_size,
+        sim_length=args.sim_length,
+        sample_freq=args.sample_freq,
+        noise_var=args.noise_var,
+        num_nodes=args.num_atoms,
+        vel_norm=args.vel_norm,
+        interaction_strength=args.interaction_strength,
+        dt=args.dt,
+        softening=args.softening,
+        double_precision=args.double_precision,
+        center_of_mass=args.center_of_mass,
+        use_cached=args.use_cached and args.model_path is None,
+        cache_data=args.cache_data,
+        seed=args.data_seed,
+    )
+    return Trainer(model, dataset, args, resolved_config=resolved_config)

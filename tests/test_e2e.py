@@ -1,0 +1,117 @@
+"""End-to-end: dataset -> Trainer -> epochs -> checkpoint + self-feed + KS
+artifacts in the reference run-dir layout.  Tiny shapes to keep CPU fast."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data import (
+    GravityDatasetOtf,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.trainer import (
+    create_trainer_from_args,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.config import (
+    flatten_args,
+)
+
+
+def make_args(tmp, **over):
+    cfg = {
+        "main": {"model_type": "egnn_mc"},
+        "models": {
+            "egnn_mc": dict(num_layers=1, hidden_node_dim=16, hidden_edge_dim=16, hidden_coord_dim=16)
+        },
+        "dataloaders": {
+            "egnn_mc_nbody": {
+                "batch_size": 4,
+                "cache_data": False,
+                "seed": 0,
+                "gravity_dataset": {"num_atoms": 5, "sim_length": 300, "sample_freq": 10},
+            }
+        },
+        "trainers": {
+            "trainer_nbody": {
+                "steps_per_epoch": 3,
+                "train_steps": 2,
+                "save_model_every": 1,
+                "test_macros_every": 1,
+                "self_feed_limit_steps": 20,
+                "plot_macros": False,
+                "seed": 0,
+                **over,
+            }
+        },
+    }
+    return flatten_args(cfg), cfg
+
+
+def test_dataset_queue_semantics(tmp_run_dir):
+    ds = GravityDatasetOtf(batch_size=2, sim_length=50, sample_freq=10, cache_data=False, seed=1)
+    # 5 frames -> 4 usable frame pairs before regeneration
+    seen = set()
+    for _ in range(4):
+        scene, y = ds.get_batch()
+        assert scene.pos.shape == (2, 5, 3)
+        assert y.shape == (2, 5, 6)
+    assert len(ds._unused) == 0
+    ds.get_batch()  # triggers regeneration
+    assert len(ds._unused) == 3
+
+
+def test_dataset_cache_roundtrip(tmp_run_dir):
+    ds1 = GravityDatasetOtf(batch_size=2, sim_length=50, cache_data=True, seed=2)
+    folder = ds1._cache_folder()
+    assert os.path.isdir(folder) and any(f.endswith(".npz") for f in os.listdir(folder))
+    ds2 = GravityDatasetOtf(batch_size=2, sim_length=50, use_cached=True, cache_data=False, seed=3)
+    np.testing.assert_allclose(
+        np.asarray(ds1._traj["loc"]), np.asarray(ds2._traj["loc"]), rtol=1e-6
+    )
+
+
+def test_full_training_run_with_self_feed(tmp_run_dir):
+    args, cfg = make_args(tmp_run_dir)
+    trainer = create_trainer_from_args(args, resolved_config=cfg)
+    trainer.train()
+
+    run = trainer.save_dir_path
+    # run-dir artifact layout (trainer.py:513-541 + checkpoints)
+    assert os.path.exists(os.path.join(run, "config.yaml"))
+    assert os.path.exists(os.path.join(run, "training_args.json"))
+    assert os.path.exists(os.path.join(run, "model_params.json"))
+    assert os.path.exists(os.path.join(run, "nbody_small_dataset", "metadata.json"))
+    assert os.path.exists(os.path.join(run, "model.ckpt"))
+    assert os.path.exists(os.path.join(run, "metrics.jsonl"))
+
+    ckpt_dir = os.path.join(run, "checkpoints", "1")
+    assert os.path.exists(os.path.join(ckpt_dir, "sticking_distributions.json"))
+    assert os.path.exists(os.path.join(ckpt_dir, "nbody_macro_metrics.json"))
+    with open(os.path.join(ckpt_dir, "nbody_macro_metrics.json")) as f:
+        m = json.load(f)
+    assert "ks_pvalues" in m and "combined" in m["ks_pvalues"]
+    assert "energies" in m and "simulation_total" in m["energies"]
+
+    # metrics stream has train + self_feed records with finite loss
+    records = [json.loads(l) for l in open(os.path.join(run, "metrics.jsonl"))]
+    train_recs = [r for r in records if "train/loss" in r]
+    assert train_recs and all(np.isfinite(r["train/loss"]) for r in train_recs)
+    sf_recs = [r for r in records if "self_feed/ks_combined" in r]
+    assert sf_recs
+
+
+def test_checkpoint_resume(tmp_run_dir):
+    args, cfg = make_args(tmp_run_dir)
+    trainer = create_trainer_from_args(args, resolved_config=cfg)
+    trainer.train()
+    ckpt_path = os.path.join(trainer.save_dir_path, "model.ckpt")
+
+    args2, cfg2 = make_args(tmp_run_dir, model_path=ckpt_path)
+    trainer2 = create_trainer_from_args(args2, resolved_config=cfg2)
+    assert trainer2.step_count == 2  # resumed epoch counter
+    for a, b in zip(
+        np.asarray(list(trainer.params["params"].keys())),
+        np.asarray(list(trainer2.params["params"].keys())),
+    ):
+        assert a == b

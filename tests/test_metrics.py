@@ -1,0 +1,192 @@
+"""Macro kernels vs literal transcriptions of the reference Python loops,
+KS/Fisher numerics, artifact JSON schema."""
+
+import json
+import os
+from itertools import combinations
+
+import numpy as np
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.metrics import (
+    artifacts,
+    ks,
+    macros,
+)
+
+
+# ---- literal ports of the reference loops (test oracles) -------------------
+
+
+def ref_stickings_collisions(loc, time_threshold=3, distance_threshold=0.5):
+    num_sims, num_steps, n_balls, _ = loc.shape
+    stick = np.zeros(num_sims)
+    coll = np.zeros(num_sims)
+    for sim in range(num_sims):
+        ongoing = np.zeros((n_balls, n_balls))
+        for step in range(1, num_steps):
+            for i in range(n_balls):
+                for j in range(i + 1, n_balls):
+                    d = np.linalg.norm(loc[sim, step, i] - loc[sim, step, j])
+                    if d <= distance_threshold:
+                        ongoing[i, j] += 1
+                        if ongoing[i, j] == 1:
+                            coll[sim] += 1
+                        if ongoing[i, j] == time_threshold:
+                            stick[sim] += 1
+                            coll[sim] -= 1
+                    else:
+                        ongoing[i, j] = 0
+    return stick, coll
+
+
+def ref_leaving(loc, distance_threshold=15):
+    num_sims, num_steps, n_balls, _ = loc.shape
+    out = np.zeros(num_sims)
+    for s in range(num_sims):
+        outside = np.zeros(n_balls)
+        for t in range(1, num_steps):
+            com = loc[s, t].mean(0)
+            for b in range(n_balls):
+                if np.linalg.norm(loc[s, t, b] - com) > distance_threshold:
+                    outside[b] += 1
+                else:
+                    outside[b] = 0
+        out[s] = len([i for i in outside if i > 10])
+    return out
+
+
+def ref_sharp_turns(vel, thr=30):
+    num_sims, num_steps, n_balls, _ = vel.shape
+    out = np.zeros(num_sims)
+    for s in range(num_sims):
+        for t in range(1, num_steps):
+            for b in range(n_balls):
+                a, bb = vel[s, t, b], vel[s, t - 1, b]
+                with np.errstate(invalid="ignore", divide="ignore"):
+                    cos = np.dot(a, bb) / (np.linalg.norm(a) * np.linalg.norm(bb))
+                ang = np.degrees(np.arccos(np.clip(cos, -1, 1)))
+                if ang > thr:
+                    out[s] += 1
+    return out
+
+
+def ref_max_com(loc):
+    num_sims, num_steps = loc.shape[:2]
+    out = np.zeros(num_sims)
+    for s in range(num_sims):
+        start = loc[s, 0].mean(0)
+        for t in range(1, num_steps):
+            d = np.linalg.norm(loc[s, t].mean(0) - start)
+            out[s] = max(out[s], d)
+    return out
+
+
+def clustered_walk(num_sims=4, num_steps=60, n=5, seed=0, scale=0.4):
+    """Random walks with small steps so contacts/stickings actually happen."""
+    rng = np.random.default_rng(seed)
+    start = rng.normal(size=(num_sims, 1, n, 3)) * 0.8
+    steps = rng.normal(size=(num_sims, num_steps, n, 3)) * scale * 0.15
+    loc = start + np.cumsum(steps, axis=1)
+    vel = np.diff(loc, axis=1, prepend=loc[:, :1])
+    return loc, vel
+
+
+def test_stickings_collisions_match_reference():
+    loc, _ = clustered_walk()
+    stick, coll = macros.count_stickings_and_collisions(loc)
+    rs, rc = ref_stickings_collisions(loc)
+    np.testing.assert_array_equal(stick, rs)
+    np.testing.assert_array_equal(coll, rc)
+    assert stick.sum() + coll.sum() > 0  # workload actually exercised
+
+
+def test_leaving_matches_reference():
+    loc, _ = clustered_walk(scale=8.0)  # big steps so bodies escape
+    got = macros.count_balls_leaving_defined_area(loc)
+    want = ref_leaving(loc)
+    np.testing.assert_array_equal(got, want)
+
+
+def test_sharp_turns_match_reference():
+    _, vel = clustered_walk(scale=2.0)
+    for thr in (30, 45):
+        got = macros.count_sharp_turns(vel, thr)
+        want = ref_sharp_turns(vel, thr)
+        np.testing.assert_array_equal(got, want)
+    assert got.sum() > 0
+
+
+def test_max_com_matches_reference():
+    loc, _ = clustered_walk()
+    np.testing.assert_allclose(macros.max_com_distance(loc), ref_max_com(loc), rtol=1e-10)
+
+
+def test_group_collisions_sanity():
+    # Construct a scenario: bodies 0,1 stuck; 2,3,4 stuck; then groups meet.
+    T, n = 30, 5
+    loc = np.zeros((1, T, n, 3))
+    loc[0, :, 0] = [0, 0, 0]
+    loc[0, :, 1] = [0.5, 0, 0]
+    loc[0, :, 2] = [10, 0, 0]
+    loc[0, :, 3] = [10.5, 0, 0]
+    loc[0, :, 4] = [10, 0.5, 0]
+    # pair drifts toward the triplet, contact from t=20
+    for t in range(T):
+        shift = min(t, 20) * 0.45
+        loc[0, t, 0, 0] += shift
+        loc[0, t, 1, 0] += shift
+    counts = macros.count_group_collisions(loc)
+    assert counts[0] >= 1
+
+
+def test_ks_and_fisher():
+    rng = np.random.default_rng(0)
+    a = rng.normal(size=500)
+    b = rng.normal(size=500)
+    p_same = ks.ks_p(a, b)
+    p_diff = ks.ks_p(a, b + 3.0)
+    assert p_same > 0.01 and p_diff < 1e-10
+    assert np.isnan(ks.ks_p([], a))
+    comb = ks.fisher_combine([0.5, 0.5, 0.5])
+    assert 0 < comb < 1
+    assert ks.fisher_combine([1e-310, np.nan]) == 1e-300 or np.isnan(
+        ks.fisher_combine([np.nan])
+    )
+    # extreme underflow floors at 1e-300 (ks_utils.py:29)
+    assert ks.fisher_combine([1e-200, 1e-200]) >= 1e-300
+
+
+def test_artifact_schema_roundtrip(tmp_path):
+    loc, vel = clustered_walk()
+    per, combined, gt, pred = artifacts.evaluate_rollout(
+        str(tmp_path), loc, vel, loc + 0.01, vel, save_trajectory_npys=True
+    )
+    # six scored macros present + max_com file
+    for fname, field in artifacts.MACRO_FILES.items():
+        path = tmp_path / fname
+        assert path.exists(), fname
+        data = json.loads(path.read_text())
+        assert set(data) == {"ground truth", "predicted"}
+        assert field in data["ground truth"]
+        assert isinstance(data["ground truth"][field], list)
+    # trajectory npy layout (infer_self_feed.py:231-248)
+    assert (tmp_path / "trajectories_data" / "loc_actual_sim_0.npy").exists()
+    assert (tmp_path / "trajectories_data" / "vel_pred_sim_3.npy").exists()
+    # near-identical trajectories -> high combined p
+    assert combined > 0.5
+    back = artifacts.read_macro_jsons(str(tmp_path))
+    np.testing.assert_allclose(
+        back["sticking_histogram"]["ground truth"], gt["sticking_histogram"]
+    )
+
+
+def test_gt_vs_gt_noise_floor():
+    """GT-vs-GT macro KS should not reject (the reference's baseline check,
+    ks_test_model_checkpoints.py:171-188)."""
+    loc1, vel1 = clustered_walk(seed=1, num_sims=24)
+    loc2, vel2 = clustered_walk(seed=2, num_sims=24)
+    g1 = macros.compute_all_macros(loc1, vel1)
+    g2 = macros.compute_all_macros(loc2, vel2)
+    _, combined = ks.macro_ks_pvalues(g1, g2)
+    assert combined > 1e-4

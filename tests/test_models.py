@@ -1,0 +1,145 @@
+"""Model correctness: shapes, finiteness of values *and* gradients,
+E(3)/permutation equivariance where the architecture promises it."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core import (
+    graph as G,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core.scene import (
+    Scene,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
+    MODEL_REGISTRY,
+    create_model,
+)
+
+TINY = {
+    "egnn_mc": dict(num_layers=2, hidden_node_dim=16, hidden_edge_dim=16, hidden_coord_dim=16),
+    "painn": dict(num_layers=2, hidden_features=16, num_rbf=8),
+    "graph_transformer": dict(num_layers=2, hidden_features=16, num_heads=2, dim_feedforward=32),
+    # center_mode="nodes" for exact rotation equivariance (the reference's
+    # default subtracts a per-node coordinate mean, segnn.py docstring)
+    "segnn": dict(num_layers=2, hidden_features=16, center_mode="nodes"),
+    "ponita": dict(num_layers=2, hidden_features=16, num_ori=6),
+    "cgenn": dict(num_layers=2, hidden_features=8),
+    "equiformer_v2": dict(num_layers=1, sphere_channels=8, attn_hidden_channels=8,
+                          num_heads=2, attn_alpha_channels=4, attn_value_channels=4,
+                          ffn_hidden_channels=8, edge_channels=8, num_distance_basis=8),
+}
+
+# egnn_mc is intentionally absent: the reference's plain-MLP vector heads
+# (egnn_mc.py:189-208) break exact rotation equivariance.  ponita is only
+# approximately equivariant (S2 grid discretization) -> loose tolerance.
+EQUIVARIANT = {"painn", "segnn", "ponita", "cgenn", "equiformer_v2"}
+EQUIV_ATOL = {"ponita": 5e-2}
+
+
+def make_scene(key, B=2, N=5, dtype=jnp.float32):
+    k1, k2 = jax.random.split(key)
+    pos = jax.random.normal(k1, (B, N, 3), dtype)
+    vel = jax.random.normal(k2, (B, N, 3), dtype)
+    return Scene(pos=pos, vel=vel, force=jnp.zeros_like(pos), mass=jnp.ones((B, N, 1), dtype))
+
+
+def registered_models():
+    return [m for m in TINY if m in MODEL_REGISTRY]
+
+
+@pytest.mark.parametrize("name", registered_models())
+def test_forward_shape_and_finite(name):
+    scene = make_scene(jax.random.PRNGKey(0))
+    mask = G.knn_mask(scene.pos, 4)
+    model = create_model(name, **TINY[name])
+    params = model.init(jax.random.PRNGKey(1), scene, mask)
+    out = model.apply(params, scene, mask)
+    assert out.shape == (2, 5, 6)
+    assert bool(jnp.isfinite(out).all())
+
+
+@pytest.mark.parametrize("name", registered_models())
+def test_grads_finite(name):
+    scene = make_scene(jax.random.PRNGKey(2))
+    mask = G.knn_mask(scene.pos, 4)
+    model = create_model(name, **TINY[name])
+    params = model.init(jax.random.PRNGKey(3), scene, mask)
+    y = jax.random.normal(jax.random.PRNGKey(4), (2, 5, 6))
+
+    def loss(p):
+        pred = model.apply(p, scene, mask, train=True, rngs={"dropout": jax.random.PRNGKey(5)})
+        return jnp.mean((pred - y.astype(pred.dtype)) ** 2)
+
+    grads = jax.grad(loss)(params)
+    assert all(bool(jnp.isfinite(g).all()) for g in jax.tree_util.tree_leaves(grads))
+
+
+def random_rotation(key):
+    a = jax.random.normal(key, (3, 3))
+    q, r = jnp.linalg.qr(a)
+    return q * jnp.sign(jnp.diag(r))  # proper-ish orthogonal
+
+
+@pytest.mark.parametrize("name", sorted(EQUIVARIANT))
+def test_rotation_equivariance(name):
+    """Rotating inputs rotates the two output 3-vectors: f(Rx) = R f(x)."""
+    if name not in MODEL_REGISTRY:
+        pytest.skip(f"{name} not yet implemented")
+    scene = make_scene(jax.random.PRNGKey(6))
+    mask = G.knn_mask(scene.pos, 4)
+    model = create_model(name, **TINY[name])
+    params = model.init(jax.random.PRNGKey(7), scene, mask)
+    out = model.apply(params, scene, mask)
+
+    R = random_rotation(jax.random.PRNGKey(8)).astype(scene.pos.dtype)
+    scene_r = Scene(
+        pos=scene.pos @ R.T, vel=scene.vel @ R.T, force=scene.force @ R.T, mass=scene.mass
+    )
+    out_r = model.apply(params, scene_r, G.knn_mask(scene_r.pos, 4))
+    want = jnp.concatenate([out[..., :3] @ R.T, out[..., 3:] @ R.T], axis=-1)
+    np.testing.assert_allclose(
+        np.asarray(out_r), np.asarray(want), atol=EQUIV_ATOL.get(name, 2e-4)
+    )
+
+
+@pytest.mark.parametrize("name", registered_models())
+def test_permutation_equivariance(name):
+    """Permuting bodies permutes outputs identically (graph symmetry)."""
+    scene = make_scene(jax.random.PRNGKey(9))
+    model = create_model(name, **TINY[name])
+    mask = G.knn_mask(scene.pos, 4)
+    params = model.init(jax.random.PRNGKey(10), scene, mask)
+    out = model.apply(params, scene, mask)
+
+    perm = jnp.asarray([3, 1, 4, 0, 2])
+    scene_p = Scene(
+        pos=scene.pos[:, perm],
+        vel=scene.vel[:, perm],
+        force=scene.force[:, perm],
+        mass=scene.mass[:, perm],
+    )
+    out_p = model.apply(params, scene_p, G.knn_mask(scene_p.pos, 4))
+    np.testing.assert_allclose(np.asarray(out_p), np.asarray(out[:, perm]), atol=2e-4)
+
+
+@pytest.mark.parametrize("name", ["egnn_mc", "painn"])
+def test_translation_invariance_of_pos_dt(name):
+    """pos_dt and vel outputs are translation invariant (relative geometry)."""
+    scene = make_scene(jax.random.PRNGKey(11))
+    mask = G.knn_mask(scene.pos, 4)
+    model = create_model(name, **TINY[name])
+    params = model.init(jax.random.PRNGKey(12), scene, mask)
+    out = model.apply(params, scene, mask)
+    shift = jnp.asarray([10.0, -5.0, 3.0])
+    scene_t = Scene(pos=scene.pos + shift, vel=scene.vel, force=scene.force, mass=scene.mass)
+    out_t = model.apply(params, scene_t, mask)
+    np.testing.assert_allclose(np.asarray(out_t), np.asarray(out), atol=1e-4)
+
+
+def test_model_registry_create():
+    m = create_model("egnn_mc", num_layers=3)
+    assert m.num_layers == 3
+    with pytest.raises(ValueError):
+        create_model("not_a_model")

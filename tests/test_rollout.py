@@ -1,0 +1,76 @@
+"""Self-feed rollout: shapes, pos_dt integration, explosion freeze semantics."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core.scene import (
+    Scene,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.rollout import (
+    make_rollout_fn,
+)
+
+
+class ConstantDrift(nn.Module):
+    """Predicts a fixed pos_dt and copies velocity — analytic rollout."""
+
+    drift: float = 0.1
+
+    @nn.compact
+    def __call__(self, scene, mask, train=False):
+        d = jnp.full_like(scene.pos, self.drift)
+        return jnp.concatenate([d, scene.vel], axis=-1)
+
+    def get_model_size(self):
+        return 1
+
+
+class Exploder(nn.Module):
+    """Multiplies positions by 100 each step -> explodes quickly."""
+
+    @nn.compact
+    def __call__(self, scene, mask, train=False):
+        return jnp.concatenate([scene.pos * 99.0, scene.vel], axis=-1)
+
+    def get_model_size(self):
+        return 1
+
+
+def scene0(B=3, N=4):
+    k = jax.random.PRNGKey(0)
+    pos = jax.random.normal(k, (B, N, 3), jnp.float32)
+    return Scene(pos=pos, vel=jnp.ones_like(pos) * 0.5, force=jnp.zeros_like(pos),
+                 mass=jnp.ones((B, N, 1), jnp.float32))
+
+
+def test_rollout_shapes_and_integration():
+    model = ConstantDrift()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(1), s0, None)
+    fn = make_rollout_fn(model, num_steps=10)
+    loc, vel, survived = fn(params, s0)
+    assert loc.shape == (3, 10, 4, 3)
+    assert vel.shape == (3, 10, 4, 3)
+    # pos_dt integration: frame t = frame0 + t * drift (infer_self_feed.py:185-186)
+    np.testing.assert_allclose(
+        np.asarray(loc[:, 5]), np.asarray(s0.pos) + 5 * 0.1, rtol=1e-5
+    )
+    assert np.all(np.asarray(survived) == 9)
+
+
+def test_explosion_freeze_and_steps_survived():
+    model = Exploder()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(1), s0, None)
+    fn = make_rollout_fn(model, num_steps=50)
+    loc, vel, survived = fn(params, s0)
+    sv = np.asarray(survived)
+    assert np.all(sv < 49)  # explodes well before the end (|pos| *= 100/step)
+    # after freezing, positions stop changing
+    loc = np.asarray(loc)
+    for b in range(loc.shape[0]):
+        frozen_at = sv[b]
+        np.testing.assert_array_equal(loc[b, frozen_at + 1], loc[b, -1])
+    assert np.isfinite(loc).all()

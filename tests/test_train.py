@@ -1,0 +1,139 @@
+"""Training: Noam schedule values, loss decrease, NaN discard, checkpoints."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core import (
+    graph as G,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core.scene import (
+    Scene,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
+    create_model,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train import (
+    checkpoint as ckpt,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.losses import (
+    build_loss_fn,
+    percentage_errors,
+    target_common_loss,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.optim import (
+    create_optimizer,
+    noam_schedule,
+)
+from types import SimpleNamespace
+
+
+def test_noam_schedule_matches_reference_formula():
+    """trainer.py:189-195: factor * size^-0.5 * min(step^-0.5, step*warmup^-1.5)."""
+    sched = noam_schedule(0.5, model_size=128, factor=1.0, warmup=1000)
+    for step in [0, 1, 10, 1000, 5000]:
+        s = max(step, 1)
+        want = 0.5 * 1.0 * 128**-0.5 * min(s**-0.5, s * 1000**-1.5)
+        assert np.isclose(float(sched(step)), want, rtol=1e-6)
+
+
+def test_target_common_loss_weighted_slices():
+    pred = jnp.ones((2, 5, 6))
+    y = jnp.zeros((2, 5, 6))
+    scene = Scene.stationary(2, 5)
+    total, terms = target_common_loss(
+        pred, scene, y, ["pos_dt", "vel"], {"position": 2.0, "velocity": 0.5}
+    )
+    assert np.isclose(float(terms["Position loss"]), 2.0)
+    assert np.isclose(float(terms["Velocity loss"]), 0.5)
+    assert np.isclose(float(total), 2.5)
+
+
+def test_percentage_errors():
+    y = jnp.ones((1, 2, 6))
+    pred = y * 1.1
+    perc = percentage_errors(pred, y, ["pos_dt", "vel"])
+    assert np.isclose(float(perc["pos_dt_perc_error"]), 10.0, atol=0.01)
+
+
+def _tiny_training_setup(seed=0):
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(seed), (4, 5, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(seed + 1), (4, 5, 3), jnp.float32),
+        force=jnp.zeros((4, 5, 3), jnp.float32),
+        mass=jnp.ones((4, 5, 1), jnp.float32),
+    )
+    y = jax.random.normal(jax.random.PRNGKey(seed + 2), (4, 5, 6), jnp.float32) * 0.1
+    model = create_model("egnn_mc", num_layers=2, hidden_node_dim=32,
+                         hidden_edge_dim=32, hidden_coord_dim=32)
+    mask = G.knn_mask(scene.pos, 4)
+    params = model.init(jax.random.PRNGKey(seed + 3), scene, mask)
+    return model, params, scene, y, mask
+
+
+def test_loss_decreases():
+    model, params, scene, y, mask = _tiny_training_setup()
+    args = SimpleNamespace(target="pos_dt+vel")
+    loss_fn = build_loss_fn(args)
+    tx = create_optimizer(0.5, model_size=32, warmup=10)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state):
+        def lf(p):
+            pred = model.apply(p, scene, mask)
+            return loss_fn(pred, scene, y)[0]
+
+        loss, grads = jax.value_and_grad(lf)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    losses = []
+    for _ in range(60):
+        params, opt_state, loss = step(params, opt_state)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0] * 0.5, losses[::10]
+
+
+def test_nan_gradient_discard():
+    """optax.apply_if_finite must skip updates on NaN grads
+    (discard_nan_gradients semantics, trainer.py:207-213)."""
+    model, params, scene, y, mask = _tiny_training_setup()
+    tx = create_optimizer(0.5, model_size=32, discard_nan_gradients=True)
+    opt_state = tx.init(params)
+    bad_grads = jax.tree_util.tree_map(lambda p: jnp.full_like(p, jnp.nan), params)
+    updates, opt_state2 = tx.update(bad_grads, opt_state, params)
+    new_params = optax.apply_updates(params, updates)
+    for a, b in zip(jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(new_params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_gradient_clipping_value_and_norm():
+    tx_val = create_optimizer(1.0, 32, clip_value=1e-8)
+    tx_norm = create_optimizer(1.0, 32, clip_norm=1e-8)
+    p = {"w": jnp.ones((4,)) * 100.0}
+    g = {"w": jnp.ones((4,)) * 100.0}
+    for tx in (tx_val, tx_norm):
+        st = tx.init(p)
+        up, _ = tx.update(g, st, p)
+        assert float(jnp.abs(up["w"]).max()) < 1.0  # clipped before adam
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    model, params, scene, y, mask = _tiny_training_setup()
+    tx = create_optimizer(0.5, model_size=32)
+    opt_state = tx.init(params)
+    path = ckpt.save_checkpoint(str(tmp_path), params, opt_state, 7, {"best": 1.0})
+    loaded = ckpt.load_checkpoint(path)
+    assert loaded["step_count"] == 7
+    assert loaded["best_metrics"] == {"best": 1.0}
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optimizer state structure round-trips
+    flat_a = jax.tree_util.tree_leaves(opt_state)
+    flat_b = jax.tree_util.tree_leaves(loaded["opt_state"])
+    assert len(flat_a) == len(flat_b)
