@@ -1,0 +1,218 @@
+"""Checkpoint KS ranking — port of ``ks_test/ks_test_model_checkpoints.py``.
+
+Walks ``runs/<model>/<ts>/checkpoints/<int>/``, re-computes per-macro KS
+p-values from the stored macro JSONs (GT vs predicted), Fisher-combines them
+per checkpoint, derives the GT-vs-GT baseline noise floor, and reports the
+best checkpoint.  Output artifacts: ``ks_results.csv``, ``ks_results.png``
+(combined + per-macro p-value curves) and a JSON summary, written into the
+run dir.
+
+Also exposes :func:`combined_pvalues_report` which aggregates many runs into
+a ``combined_pvalues_summary.csv`` like ``figures/combined_pvalues_summary
+.csv`` (model, best checkpoint, best combined p, first checkpoint with
+p >= 0.05 — the table reproduced in BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, List, Optional, Tuple
+
+import numpy as np
+
+from ..metrics import artifacts
+from ..metrics.ks import fisher_combine, ks_p
+
+SCORED_MACROS = [
+    "collision_histogram",
+    "group_collision_count",
+    "leaving_count",
+    "sharp_turn_count_30",
+    "sharp_turn_count_45",
+    "sticking_histogram",
+]
+ENERGY_KEYS = ["energy_total", "energy_potential", "energy_kinetic"]
+
+
+def load_checkpoint_pvalues(ckpt_dir: str) -> Tuple[Dict[str, float], float]:
+    """Per-macro + energy p-values and their Fisher combination for one
+    checkpoint dir (``utils/hpo_metrics.py:61-105`` semantics)."""
+    per: Dict[str, float] = {}
+    pvals: List[float] = []
+    data = artifacts.read_macro_jsons(ckpt_dir)
+    for key in SCORED_MACROS:
+        if key not in data:
+            per[key] = float("nan")
+            continue
+        p = ks_p(data[key]["ground truth"], data[key]["predicted"])
+        per[key] = p
+        if p == p and p > 0.0:
+            pvals.append(p)
+    energy_path = os.path.join(ckpt_dir, "nbody_macro_metrics.json")
+    if os.path.exists(energy_path):
+        try:
+            with open(energy_path) as f:
+                m = json.load(f)
+            for key in ENERGY_KEYS:
+                p = float(m.get("ks_pvalues", {}).get(key, float("nan")))
+                per[key] = p
+                if p == p and p > 0.0:
+                    pvals.append(p)
+        except Exception:
+            pass
+    return per, fisher_combine(pvals)
+
+
+def gt_baseline_pvalues(
+    dataset, n_pairs: int = 5, batch_size: Optional[int] = None
+) -> List[float]:
+    """GT-vs-GT combined p-values: the macro noise floor
+    (``ks_test_model_checkpoints.py:171-188``).  Each sample compares the
+    macros of two *independent* fresh trajectory batches."""
+    from ..metrics import macros as M
+
+    out = []
+    for _ in range(n_pairs):
+        loc1, vel1, *_ = dataset.get_ground_truth_trajectories(batch_size)
+        loc2, vel2, *_ = dataset.get_ground_truth_trajectories(batch_size)
+        g1 = M.compute_all_macros(np.asarray(loc1), np.asarray(vel1))
+        g2 = M.compute_all_macros(np.asarray(loc2), np.asarray(vel2))
+        pvals = [ks_p(g1[k], g2[k]) for k in SCORED_MACROS]
+        out.append(fisher_combine(pvals))
+    return out
+
+
+def evaluate_run_checkpoints(
+    run_path: str,
+    baseline_dataset=None,
+    plot: bool = True,
+) -> Dict:
+    """Rank all checkpoints of a run dir; write csv/png/summary.
+
+    Returns a dict with per-checkpoint results and the best checkpoint
+    (``ks_test_model_checkpoints.py:320-434``)."""
+    ckpt_root = os.path.join(run_path, "checkpoints")
+    if not os.path.isdir(ckpt_root):
+        raise FileNotFoundError(f"no checkpoints/ under {run_path}")
+    steps = sorted((d for d in os.listdir(ckpt_root) if d.isdigit()), key=int)
+
+    rows = []
+    per_macro_series: Dict[str, List[float]] = {}
+    for step in steps:
+        per, combined = load_checkpoint_pvalues(os.path.join(ckpt_root, step))
+        rows.append({"checkpoint": int(step), "combined_pvalue": combined, **per})
+        for k, v in per.items():
+            per_macro_series.setdefault(k, []).append(v)
+
+    valid = [r for r in rows if r["combined_pvalue"] == r["combined_pvalue"]]
+    best = max(valid, key=lambda r: r["combined_pvalue"]) if valid else None
+    first_sig = next(
+        (r["checkpoint"] for r in valid if r["combined_pvalue"] >= 0.05), None
+    )
+
+    baseline = None
+    if baseline_dataset is not None:
+        baseline = gt_baseline_pvalues(baseline_dataset)
+
+    # csv
+    import csv
+
+    csv_path = os.path.join(run_path, "ks_results.csv")
+    if rows:
+        with open(csv_path, "w", newline="") as f:
+            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w.writeheader()
+            w.writerows(rows)
+
+    if plot and rows:
+        from ..viz.macro_plots import plot_pvalue_series
+
+        plot_pvalue_series(
+            run_path,
+            [r["checkpoint"] for r in rows],
+            [r["combined_pvalue"] for r in rows],
+            per_metric=per_macro_series,
+            filename="ks_results.png",
+        )
+
+    summary = {
+        "run_path": run_path,
+        "num_checkpoints": len(rows),
+        "best_checkpoint": best["checkpoint"] if best else None,
+        "best_combined_pvalue": best["combined_pvalue"] if best else None,
+        "first_checkpoint_p_ge_0.05": first_sig,
+        "gt_baseline_pvalues": baseline,
+        "results": rows,
+    }
+    with open(os.path.join(run_path, "ks_summary.json"), "w") as f:
+        json.dump(summary, f, indent=2)
+    return summary
+
+
+def combined_pvalues_report(run_paths: List[str], out_csv: str) -> List[Dict]:
+    """Aggregate best-checkpoint stats across runs
+    (``ks_test/plot_combined_pvalues_multi_model.py`` summary csv)."""
+    import csv
+
+    rows = []
+    for rp in run_paths:
+        try:
+            s = evaluate_run_checkpoints(rp, plot=False)
+        except FileNotFoundError:
+            continue
+        model = os.path.basename(os.path.dirname(os.path.normpath(rp)))
+        rows.append(
+            {
+                "model": model,
+                "run": rp,
+                "best_checkpoint": s["best_checkpoint"],
+                "best_combined_pvalue": s["best_combined_pvalue"],
+                "first_checkpoint_p_ge_0.05": s["first_checkpoint_p_ge_0.05"],
+            }
+        )
+    os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(
+            f,
+            fieldnames=[
+                "model",
+                "run",
+                "best_checkpoint",
+                "best_combined_pvalue",
+                "first_checkpoint_p_ge_0.05",
+            ],
+        )
+        w.writeheader()
+        w.writerows(rows)
+    return rows
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    import argparse
+
+    from ..data.gravity_otf import GravityDatasetOtf
+
+    p = argparse.ArgumentParser(description="KS-rank a run's checkpoints")
+    p.add_argument("run_path")
+    p.add_argument("--baseline", action="store_true", help="compute GT-GT floor")
+    args = p.parse_args(argv)
+    ds = None
+    if args.baseline:
+        meta_files = [
+            os.path.join(args.run_path, d, "metadata.json")
+            for d in os.listdir(args.run_path)
+            if d.endswith("_dataset")
+        ]
+        if meta_files and os.path.exists(meta_files[0]):
+            with open(meta_files[0]) as f:
+                ds = GravityDatasetOtf.from_metadata(json.load(f), cache_data=False)
+    s = evaluate_run_checkpoints(args.run_path, baseline_dataset=ds)
+    print(
+        f"best checkpoint: {s['best_checkpoint']} "
+        f"(combined p = {s['best_combined_pvalue']})"
+    )
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

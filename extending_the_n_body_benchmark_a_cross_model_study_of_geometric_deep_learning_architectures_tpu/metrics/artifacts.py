@@ -127,6 +127,9 @@ def evaluate_rollout(
     vel_pred,
     save_trajectory_npys: bool = True,
     plot: bool = False,
+    extended: bool = False,
+    interaction_strength: float = 2.0,
+    softening: float = 0.2,
 ):
     """Full macro + KS scoring of one rollout; writes all artifacts.
 
@@ -142,10 +145,24 @@ def evaluate_rollout(
         save_trajectories(save_dir, loc_actual, loc_pred, vel_actual, vel_pred)
     if plot:
         try:
-            from ..viz.macro_plots import plot_macro_histograms
+            from ..viz.macro_plots import plot_macro_histograms, plot_trajectories_2d
 
             plot_macro_histograms(save_dir, gt, pred)
+            plot_trajectories_2d(save_dir, np.asarray(loc_actual), np.asarray(loc_pred))
         except Exception:
             pass
+    if extended:
+        from .extended_artifacts import write_all_extended
+
+        write_all_extended(
+            save_dir,
+            loc_actual,
+            vel_actual,
+            loc_pred,
+            vel_pred,
+            G=interaction_strength,
+            softening=softening,
+            plot=plot,
+        )
     per, combined = KS.macro_ks_pvalues(gt, pred)
     return per, combined, gt, pred

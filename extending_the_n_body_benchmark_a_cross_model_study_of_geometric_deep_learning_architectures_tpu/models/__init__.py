@@ -81,12 +81,25 @@ def _register_extended_models() -> None:
     from .cgenn import CGENN  # noqa: F401
 
     register_model("cgenn", CGENN, dict(hidden_features=96, num_layers=4))
-    try:
-        from .equiformer_v2 import EquiformerV2  # noqa: F401
+    from .equiformer_v2 import EquiformerV2  # noqa: F401
 
-        register_model("equiformer_v2", EquiformerV2, dict())
-    except ImportError:
-        pass
+    register_model(
+        "equiformer_v2",
+        EquiformerV2,
+        dict(
+            num_layers=4,
+            sphere_channels=64,
+            attn_hidden_channels=64,
+            num_heads=4,
+            attn_alpha_channels=8,
+            attn_value_channels=4,
+            ffn_hidden_channels=64,
+            edge_channels=64,
+            num_distance_basis=64,
+            max_neighbors=5,
+            max_radius=4096.0,
+        ),
+    )
 
 
 _register_extended_models()

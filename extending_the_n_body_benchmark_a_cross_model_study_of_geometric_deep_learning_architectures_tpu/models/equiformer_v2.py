@@ -1,0 +1,487 @@
+"""EquiformerV2: SO(2)-convolution graph attention transformer — dense TPU.
+
+Re-design of ``models/equiformer_v2/architecture/`` (~4.3k LoC torch) on the
+batched SO(3) machinery in :mod:`..ops.so3_edge`.  Node state is an array of
+real-SH coefficients ``[B, N, 9, C]`` (lmax=2, l-primary, e3nn basis); all
+edge tensors are dense ``[B, N, N, ...]`` with receiver r / sender s
+indexing, and the per-edge Wigner rotations are closed-form batched einsums
+(no Euler angles, no ``Jd.pt`` tables).
+
+Reference mapping (file:line into /root/reference/models/equiformer_v2/):
+* node init: charge embedding -> l=0, Linear(3, 3C) velocity -> l=1
+  (``architecture/equiformer_v2_nbody.py:497-528``)
+* distance expansion "projection": Linear(1, 1024)  (``:228-229``)
+* EdgeDegreeEmbedding with 1/23.395 rescale       (``input_block.py``,
+  ``equiformer_v2_nbody.py:36``)
+* TransBlockV2 = norm -> SO2 attention -> +res -> norm -> FFN -> +res
+  (``transformer_block.py:533-728``)
+* SO2EquivariantGraphAttention: rotate -> SO2 conv (radial-modulated) ->
+  separable S2 activation -> SO2 conv -> alpha attention (LayerNorm +
+  SmoothLeakyReLU + dot) -> softmax over senders -> rotate back -> sum ->
+  SO3 linear (``transformer_block.py:22-370``)
+* SO2 convolution complex structure per m       (``so2_ops.py:13-240``)
+* separable S2 activation via grid SiLU         (``activation.py:155-202``)
+* RMS norm (component, degree-balanced)         (``layer_norm.py:327-440``)
+* SO3_LinearV2 per-degree linear                (``so3.py:695-740``)
+* output: force_block with 2 channels -> l=1 rows = (pos_dt, vel)
+  (``equiformer_v2_nbody.py:564-575``)
+
+The reference's unused ``energy_block``/``vel_block`` (defined but not in
+the forward path) are intentionally omitted.
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Optional, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from ..core import graph as G
+from ..core.scene import Scene
+from ..ops import so3_edge as SE
+from ..ops.steerable import spherical_harmonics  # noqa: F401 (docs/tests)
+from .common import TorchLinear
+
+LMAX = 2
+KFULL = 9  # (LMAX+1)^2
+AVG_DEGREE = 23.395238876342773  # equiformer_v2_nbody.py:36
+
+
+def _uniform(bound):
+    def init(key, shape, dtype=jnp.float32):
+        return jax.random.uniform(key, shape, dtype, -bound, bound)
+
+    return init
+
+
+def smooth_leaky_relu(x, alpha: float = 0.2):
+    """``activation.py:63-74``."""
+    return ((1 + alpha) / 2.0) * x + ((1 - alpha) / 2.0) * x * (
+        2.0 * jax.nn.sigmoid(x) - 1.0
+    )
+
+
+class RadialFunction(nn.Module):
+    """Linear+LayerNorm+SiLU stack (``radial_function.py``)."""
+
+    channels: Sequence[int]  # [in, hidden..., out]
+
+    @nn.compact
+    def __call__(self, x):
+        cs = list(self.channels)
+        for i, c in enumerate(cs[1:]):
+            x = TorchLinear(c)(x)
+            if i < len(cs) - 2:
+                x = nn.LayerNorm(dtype=x.dtype)(x)
+                x = jax.nn.silu(x)
+        return x
+
+
+class SO3Linear(nn.Module):
+    """Per-degree linear over channels, bias on l=0 (``SO3_LinearV2``)."""
+
+    out_features: int
+    mmax: Optional[int] = None  # None -> full lmax layout
+
+    @nn.compact
+    def __call__(self, x):  # [..., K, C_in]
+        c_in = x.shape[-1]
+        w = self.param(
+            "weight", _uniform(1.0 / math.sqrt(c_in)), (LMAX + 1, self.out_features, c_in)
+        )
+        expand = jnp.asarray(SE.l_expand_index(LMAX, self.mmax))
+        w_all = w[expand]  # [K, C_out, C_in]
+        out = jnp.einsum("...mi,moi->...mo", x, w_all.astype(x.dtype))
+        b = self.param("bias", nn.initializers.zeros, (self.out_features,))
+        return out.at[..., 0, :].add(b.astype(x.dtype))
+
+
+class RMSNormSH(nn.Module):
+    """Degree-balanced component RMS norm with centering
+    (``EquivariantRMSNormArraySphericalHarmonicsV2``)."""
+
+    num_channels: int
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):  # [..., K, C]
+        K = x.shape[-2]
+        lmax = int(math.isqrt(K)) - 1
+        l_of = SE.l_expand_index(lmax)
+        balance = jnp.asarray(
+            (1.0 / (2 * l_of + 1)) / (lmax + 1), x.dtype
+        )  # layer_norm.py:371-382
+
+        l0 = x[..., 0:1, :]
+        l0 = l0 - jnp.mean(l0, axis=-1, keepdims=True)  # centering
+        x = jnp.concatenate([l0, x[..., 1:, :]], axis=-2)
+
+        norm = jnp.einsum("...ic,i->...c", x * x, balance)  # [..., C]
+        norm = jnp.mean(norm, axis=-1, keepdims=True)[..., None]  # [..., 1, 1]
+        inv = (norm + self.eps) ** -0.5
+
+        weight = self.param(
+            "affine_weight", nn.initializers.ones, (lmax + 1, self.num_channels)
+        )
+        bias = self.param("affine_bias", nn.initializers.zeros, (self.num_channels,))
+        out = x * inv * weight[jnp.asarray(l_of)].astype(x.dtype)
+        return out.at[..., 0, :].add(bias.astype(x.dtype))
+
+
+class SO2Conv(nn.Module):
+    """SO(2) convolution over all m orders (``so2_ops.py:77-240``).
+
+    Input ``[..., K_r, C_in]`` in restricted l-primary layout (mmax=1 -> 7
+    coeffs).  ``radial_channels`` non-None enables the per-edge radial
+    modulation path (``internal_weights=False``).
+    """
+
+    m_output_channels: int
+    mmax: int = 1
+    extra_m0_channels: int = 0
+    radial_channels: Optional[Sequence[int]] = None  # edge-MLP widths
+
+    @nn.compact
+    def __call__(self, x, x_edge=None):
+        C = x.shape[-1]
+        m0_idx, m_blocks = SE.m_order_indices(LMAX, self.mmax)
+        n_l0 = len(m0_idx)  # lmax+1
+
+        # radial widths: m=0 block + one shared block per |m| (the same
+        # weights modulate the -m and +m rows, so2_ops.py:205-212)
+        sizes = [n_l0 * C] + [len(mi) * C for (mi, _) in m_blocks]
+        if self.radial_channels is not None:
+            rad = RadialFunction(list(self.radial_channels) + [sum(sizes)])(x_edge)
+            rad_parts = []
+            off = 0
+            for s in sizes:
+                rad_parts.append(rad[..., off : off + s])
+                off += s
+
+        # --- m = 0 (real only)
+        x0 = x[..., jnp.asarray(m0_idx), :].reshape(x.shape[:-2] + (n_l0 * C,))
+        if self.radial_channels is not None:
+            x0 = x0 * rad_parts[0]
+        out0_w = n_l0 * self.m_output_channels + self.extra_m0_channels
+        x0 = TorchLinear(out0_w)(x0)
+        extra = None
+        if self.extra_m0_channels:
+            extra = x0[..., : self.extra_m0_channels]
+            x0 = x0[..., self.extra_m0_channels :]
+        x0 = x0.reshape(x.shape[:-2] + (n_l0, self.m_output_channels))
+
+        # --- m > 0 (complex pairs)
+        outs = {0: x0}
+        for mi, (minus, plus) in enumerate(m_blocks):
+            m = mi + 1
+            n_lm = len(minus)
+            xm = jnp.stack(
+                [
+                    x[..., jnp.asarray(minus), :].reshape(x.shape[:-2] + (n_lm * C,)),
+                    x[..., jnp.asarray(plus), :].reshape(x.shape[:-2] + (n_lm * C,)),
+                ],
+                axis=-2,
+            )  # [..., 2, n_lm*C]
+            if self.radial_channels is not None:
+                xm = xm * rad_parts[m][..., None, :]
+            # fc with 1/sqrt(2)-scaled init (so2_ops.py:52-58)
+            width = 2 * self.m_output_channels * n_lm
+            fan = n_lm * C
+            fc = nn.Dense(
+                width,
+                use_bias=False,
+                kernel_init=_uniform(1.0 / math.sqrt(fan) / math.sqrt(2.0)),
+                dtype=xm.dtype,
+                param_dtype=jnp.float32,
+            )(xm)
+            x_r, x_i = fc[..., : width // 2], fc[..., width // 2 :]
+            out_r = x_r[..., 0, :] - x_i[..., 1, :]
+            out_i = x_r[..., 1, :] + x_i[..., 0, :]
+            outs[m] = (
+                out_r.reshape(x.shape[:-2] + (n_lm, self.m_output_channels)),
+                out_i.reshape(x.shape[:-2] + (n_lm, self.m_output_channels)),
+            )
+
+        # --- back to restricted l-primary layout
+        K_r = x.shape[-2]
+        out = jnp.zeros(x.shape[:-2] + (K_r, self.m_output_channels), x.dtype)
+        out = out.at[..., jnp.asarray(m0_idx), :].set(outs[0])
+        for mi, (minus, plus) in enumerate(m_blocks):
+            out_r, out_i = outs[mi + 1]
+            out = out.at[..., jnp.asarray(minus), :].set(out_r)
+            out = out.at[..., jnp.asarray(plus), :].set(out_i)
+        return (out, extra) if self.extra_m0_channels else out
+
+
+class SeparableS2Act(nn.Module):
+    """Separable S2 activation (``activation.py:155-202``): SiLU on grid for
+    l>0 coefficients, plain SiLU gate scalars for l=0."""
+
+    mmax: int = 1
+
+    @nn.compact
+    def __call__(self, gating_scalars, x):
+        to_g, from_g = SE.s2_grid_mats(LMAX, self.mmax)
+        to_g = jnp.asarray(to_g, x.dtype)
+        from_g = jnp.asarray(from_g, x.dtype)
+        x_grid = jnp.einsum("gi,...ic->...gc", to_g, x)
+        x_grid = jax.nn.silu(x_grid)
+        x_sph = jnp.einsum("ig,...gc->...ic", from_g, x_grid)
+        scalars = jax.nn.silu(gating_scalars)[..., None, :]
+        return jnp.concatenate([scalars, x_sph[..., 1:, :]], axis=-2)
+
+
+class SO2Attention(nn.Module):
+    """``SO2EquivariantGraphAttention`` (dense). Output ``[B,N,9,C_out]``."""
+
+    sphere_channels: int
+    hidden_channels: int
+    num_heads: int
+    alpha_channels: int
+    value_channels: int
+    output_channels: int
+    edge_channels: int
+    alpha_drop: float = 0.1
+
+    @nn.compact
+    def __call__(self, x, x_edge, D, D_inv, adj, train: bool = False):
+        """x [B,N,9,C]; x_edge [B,N,N,Ce]; D [B,N,N,7,9] (rotate+restrict);
+        D_inv [B,N,N,9,7]; adj [B,N,N] (receiver r from senders s)."""
+        B, N = x.shape[:2]
+        C = self.sphere_channels
+
+        # message = concat(source, target) per edge; layout [r, s]
+        x_s = jnp.broadcast_to(x[:, None, :, :, :], (B, N, N, KFULL, C))
+        x_r = jnp.broadcast_to(x[:, :, None, :, :], (B, N, N, KFULL, C))
+        msg = jnp.concatenate([x_s, x_r], axis=-1)  # [B,N,N,9,2C]
+
+        # rotate into edge-aligned frame and restrict to mmax
+        msg = jnp.einsum("...kj,...jc->...kc", D, msg)  # [B,N,N,7,2C]
+
+        # SO2 conv 1: radial-modulated, emits extra m0 features for the
+        # attention alpha and the S2-activation gate (so2_ops extra path)
+        extra_ch = self.num_heads * self.alpha_channels + self.hidden_channels
+        msg, extra = SO2Conv(
+            m_output_channels=self.hidden_channels,
+            extra_m0_channels=extra_ch,
+            radial_channels=(1024, self.edge_channels, self.edge_channels),
+        )(msg, x_edge)
+
+        alpha_feat = extra[..., : self.num_heads * self.alpha_channels]
+        gate = extra[..., self.num_heads * self.alpha_channels :]
+        msg = SeparableS2Act()(gate, msg)
+
+        msg = SO2Conv(m_output_channels=self.num_heads * self.value_channels)(msg)
+
+        # attention weights (transformer_block.py:330-343)
+        a = alpha_feat.reshape(
+            alpha_feat.shape[:-1] + (self.num_heads, self.alpha_channels)
+        )
+        a = nn.LayerNorm(dtype=a.dtype)(a)
+        a = smooth_leaky_relu(a)
+        alpha_dot = self.param(
+            "alpha_dot",
+            _uniform(1.0 / math.sqrt(self.alpha_channels)),
+            (self.num_heads, self.alpha_channels),
+        )
+        alpha = jnp.einsum("...hk,hk->...h", a, alpha_dot.astype(a.dtype))
+        # masked softmax over senders s (axis 2) per receiver
+        neg = jnp.asarray(-1e9, alpha.dtype)
+        alpha = jnp.where(adj[..., None], alpha, neg)
+        alpha = jax.nn.softmax(alpha, axis=2)
+        alpha = jnp.where(adj[..., None], alpha, 0.0)
+        if self.alpha_drop > 0.0:
+            alpha = nn.Dropout(rate=self.alpha_drop, deterministic=not train)(alpha)
+
+        v = msg.reshape(msg.shape[:-1] + (self.num_heads, self.value_channels))
+        v = v * alpha[..., None, :, None]
+        v = v.reshape(msg.shape)
+
+        # rotate back, aggregate at receiver
+        v = jnp.einsum("...jk,...kc->...jc", D_inv, v)  # [B,N,N,9,HV]
+        agg = G.masked_segment_sum(v, adj)  # [B,N,9,HV]
+        return SO3Linear(self.output_channels)(agg)
+
+
+class FeedForward(nn.Module):
+    """FFN with separable S2 activation (``transformer_block.py:373-530``)."""
+
+    sphere_channels: int
+    hidden_channels: int
+    output_channels: int
+
+    @nn.compact
+    def __call__(self, x):
+        gating = TorchLinear(self.hidden_channels)(x[..., 0, :])
+        h = SO3Linear(self.hidden_channels)(x)
+        h = SeparableS2Act(mmax=LMAX)(gating, h)
+        return SO3Linear(self.output_channels)(h)
+
+
+class _TransBlock(nn.Module):
+    """``TransBlockV2``: pre-norm attention + FFN with residuals."""
+
+    sphere_channels: int
+    attn_hidden_channels: int
+    num_heads: int
+    alpha_channels: int
+    value_channels: int
+    ffn_hidden_channels: int
+    edge_channels: int
+    alpha_drop: float = 0.1
+    drop_path: float = 0.05
+
+    @nn.compact
+    def __call__(self, x, x_edge, D, D_inv, adj, train: bool = False):
+        res = x
+        h = RMSNormSH(self.sphere_channels)(x)
+        h = SO2Attention(
+            sphere_channels=self.sphere_channels,
+            hidden_channels=self.attn_hidden_channels,
+            num_heads=self.num_heads,
+            alpha_channels=self.alpha_channels,
+            value_channels=self.value_channels,
+            output_channels=self.sphere_channels,
+            edge_channels=self.edge_channels,
+            alpha_drop=self.alpha_drop,
+        )(h, x_edge, D, D_inv, adj, train=train)
+        if self.drop_path > 0.0 and train:
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, h.shape[:1] + (1, 1, 1))
+            h = h * mask.astype(h.dtype) / keep
+        x = res + h
+
+        res = x
+        h = RMSNormSH(self.sphere_channels)(x)
+        h = FeedForward(
+            self.sphere_channels, self.ffn_hidden_channels, self.sphere_channels
+        )(h)
+        if self.drop_path > 0.0 and train:
+            keep = 1.0 - self.drop_path
+            rng = self.make_rng("dropout")
+            mask = jax.random.bernoulli(rng, keep, h.shape[:1] + (1, 1, 1))
+            h = h * mask.astype(h.dtype) / keep
+        return (res + h, None)
+
+
+class EquiformerV2(nn.Module):
+    """``__call__(scene, mask) -> [B, N, 6]`` (pos_dt ‖ vel)."""
+
+    num_layers: int = 4
+    sphere_channels: int = 64
+    attn_hidden_channels: int = 64
+    num_heads: int = 4
+    attn_alpha_channels: int = 8
+    attn_value_channels: int = 4
+    ffn_hidden_channels: int = 64
+    edge_channels: int = 64
+    num_distance_basis: int = 64  # kept for config parity (projection path)
+    max_neighbors: int = 5
+    max_radius: float = 4096.0
+    max_num_elements: int = 90
+    alpha_drop: float = 0.1
+    drop_path_rate: float = 0.05
+    lmax: int = 2
+    mmax: int = 1
+    # The reference lifts velocities with a full nn.Linear(3, 3C) + bias
+    # (equiformer_v2_nbody.py:209,500-523) which is NOT rotation equivariant.
+    # False reproduces that; True uses a per-channel scalar gate (equivariant)
+    equivariant_embedding: bool = False
+
+    @nn.compact
+    def __call__(self, scene: Scene, mask, train: bool = False):
+        B, N = scene.pos.shape[:2]
+        C = self.sphere_channels
+        dtype = scene.pos.dtype
+
+        # The reference builds its own fully-connected graph inside forward
+        # (equiformer_v2_nbody.py:444-458); receiver = edge_index[1].
+        adj = jnp.swapaxes(mask, 1, 2)
+        edge_vec = -G.rel_positions(scene.pos)  # pos_s - pos_r at [r, s]
+        dist = G.safe_sqrt(jnp.sum(edge_vec * edge_vec, axis=-1, keepdims=True))
+
+        # per-edge frames + Wigner blocks (restricted)
+        R = SE.edge_align_rotation(edge_vec)
+        Dfull = SE.wigner_full(R)  # [B,N,N,9,9]
+        ridx = jnp.asarray(SE.restricted_indices(LMAX, self.mmax))
+        D = Dfull[..., ridx, :]  # rotate + restrict [.,7,9]
+        D_inv = jnp.swapaxes(Dfull, -1, -2)[..., :, ridx]  # [.,9,7]
+
+        # node init: charges -> l=0, velocity -> l=1
+        charges = jnp.clip(scene.mass[..., 0].astype(jnp.int32), 0, self.max_num_elements - 1)
+        sphere_emb = nn.Embed(
+            self.max_num_elements, C, dtype=dtype, param_dtype=jnp.float32
+        )(charges)
+        if self.equivariant_embedding:
+            gate = self.param("vel_gate", nn.initializers.ones, (C,))
+            vel_emb = scene.vel[..., jnp.asarray([1, 2, 0])][..., None] * gate.astype(dtype)
+        else:
+            vel_emb = TorchLinear(3 * C)(scene.vel).reshape(B, N, 3, C)
+        x = jnp.zeros((B, N, KFULL, C), dtype)
+        x = x.at[..., 0, :].add(sphere_emb)
+        x = x.at[..., 1:4, :].add(vel_emb)
+
+        # distance expansion: "projection" Linear(1, 1024)
+        x_edge = TorchLinear(1024)(dist)
+
+        # edge-degree embedding (input_block.py): radial -> m0 coeffs,
+        # rotate back, mean^sum at receiver / AVG_DEGREE
+        m0_idx, _ = SE.m_order_indices(LMAX, self.mmax)
+        ed = RadialFunction(
+            [1024, self.edge_channels, self.edge_channels, (LMAX + 1) * C]
+        )(x_edge)
+        ed = ed.reshape(B, N, N, LMAX + 1, C)
+        ed_restricted = jnp.zeros((B, N, N, len(ridx), C), dtype)
+        ed_restricted = ed_restricted.at[..., jnp.asarray(m0_idx), :].set(ed)
+        ed_back = jnp.einsum("...jk,...kc->...jc", D_inv, ed_restricted)
+        x = x + G.masked_segment_sum(ed_back, adj) / AVG_DEGREE
+
+        # transformer blocks (scanned: one compiled body)
+        block = nn.scan(
+            _TransBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True, "dropout": True},
+            in_axes=(nn.broadcast,) * 5,
+            length=self.num_layers,
+        )(
+            sphere_channels=C,
+            attn_hidden_channels=self.attn_hidden_channels,
+            num_heads=self.num_heads,
+            alpha_channels=self.attn_alpha_channels,
+            value_channels=self.attn_value_channels,
+            ffn_hidden_channels=self.ffn_hidden_channels,
+            edge_channels=self.edge_channels,
+            alpha_drop=self.alpha_drop,
+            drop_path=self.drop_path_rate,
+        )
+        x, _ = block(x, x_edge, D, D_inv, adj, train)
+
+        x = RMSNormSH(C)(x)
+
+        # output head: SO2 attention with 2 output channels; l=1 rows are
+        # the two predicted vectors (equiformer_v2_nbody.py:564-575)
+        pred = SO2Attention(
+            sphere_channels=C,
+            hidden_channels=self.attn_hidden_channels,
+            num_heads=self.num_heads,
+            alpha_channels=self.attn_alpha_channels,
+            value_channels=self.attn_value_channels,
+            output_channels=2,
+            edge_channels=self.edge_channels,
+            alpha_drop=0.0,
+        )(x, x_edge, D, D_inv, adj, train=train)
+
+        # l=1 coefficients are (y, z, x) -> physical (x, y, z)
+        vecs = pred[..., 1:4, :]  # [B,N,3,2]
+        xyz = jnp.stack([vecs[..., 2, :], vecs[..., 0, :], vecs[..., 1, :]], axis=-2)
+        pos_dt = xyz[..., 0]
+        vel = xyz[..., 1]
+        return jnp.concatenate([pos_dt, vel], axis=-1)
+
+    def get_model_size(self) -> int:
+        return self.sphere_channels

@@ -1,0 +1,45 @@
+"""Reload a trained run from its run-dir artifacts.
+
+The reference reconstructs models for inference from the run dir's
+``training_args.json`` + ``metadata.json`` + checkpoint
+(``utils/nbody_utils.py:load_model_for_inference`` + ``get_dataset_metadata
+_path``); this is the equivalent for our artifact layout.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from types import SimpleNamespace
+from typing import Optional, Tuple
+
+from ..data.gravity_otf import GravityDatasetOtf
+from ..models import create_model
+from .checkpoint import load_checkpoint
+
+
+def find_dataset_metadata(run_dir: str) -> Optional[dict]:
+    for d in os.listdir(run_dir):
+        p = os.path.join(run_dir, d, "metadata.json")
+        if d.endswith("_dataset") and os.path.exists(p):
+            with open(p) as f:
+                return json.load(f)
+    return None
+
+
+def load_run(
+    run_dir: str,
+    checkpoint: str = "model.ckpt",
+    n_bodies: Optional[int] = None,
+) -> Tuple[object, dict, GravityDatasetOtf, SimpleNamespace]:
+    """Returns ``(model, params, dataset, args)`` for a finished run dir."""
+    with open(os.path.join(run_dir, "training_args.json")) as f:
+        args = SimpleNamespace(**json.load(f)["args"])
+    model = create_model(args.model_type, **(args.model_kwargs or {}))
+    ckpt = load_checkpoint(os.path.join(run_dir, checkpoint))
+    params = ckpt["params"]
+    metadata = find_dataset_metadata(run_dir) or {}
+    dataset = GravityDatasetOtf.from_metadata(
+        metadata, n_bodies=n_bodies, cache_data=False
+    )
+    return model, params, dataset, args

@@ -258,6 +258,9 @@ class Trainer:
             vel_pred,
             save_trajectory_npys=self.args.save_trajectory_npys,
             plot=self.args.plot_macros,
+            extended=self.args.plot_macros,
+            interaction_strength=self.dataset.interaction_strength,
+            softening=self.dataset.softening,
         )
 
         G_ = self.dataset.interaction_strength

@@ -1,0 +1,14 @@
+"""KS-rank the checkpoints of a run — analogue of
+``ks_test/ks_test_model_checkpoints.py``.
+
+Usage::
+
+    python ks_test.py runs/egnn_mc/<timestamp> [--baseline]
+"""
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation.ks_checkpoints import (
+    main,
+)
+
+if __name__ == "__main__":
+    main()

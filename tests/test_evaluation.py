@@ -1,0 +1,138 @@
+"""Evaluation subsystem: checkpoint KS ranking, GT baselines, studies, HPO."""
+
+import json
+import math
+import os
+
+import numpy as np
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data import (
+    GravityDatasetOtf,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation import (
+    evaluate_run_checkpoints,
+    gt_baseline_pvalues,
+    load_checkpoint_pvalues,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation.studies import (
+    baseline_metamacros,
+    compare_dt,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.hpo import hpo
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.metrics import (
+    artifacts,
+)
+
+
+def _fake_checkpoint(dirpath, shift=0.0, seed=0):
+    """Write macro + energy artifacts for a synthetic rollout pair."""
+    rng = np.random.default_rng(seed)
+    loc = rng.normal(size=(8, 40, 5, 3)).cumsum(axis=1) * 0.2
+    vel = np.diff(loc, axis=1, prepend=loc[:, :1])
+    artifacts.evaluate_rollout(
+        dirpath, loc, vel, loc + shift, vel, save_trajectory_npys=False
+    )
+    artifacts.write_energy_metrics_json(
+        dirpath,
+        {
+            "simulation": {"total": np.ones(40), "potential": np.ones(40), "kinetic": np.zeros(40)},
+            "self_feed": {"total": np.ones(40) * (1 + shift), "potential": np.ones(40), "kinetic": np.zeros(40)},
+        },
+        {"energy_total": 0.5, "energy_potential": 0.5, "energy_kinetic": 0.5},
+        0.5,
+    )
+
+
+def test_checkpoint_ranking(tmp_path):
+    run = tmp_path / "run"
+    _fake_checkpoint(str(run / "checkpoints" / "10"), shift=0.0, seed=1)
+    _fake_checkpoint(str(run / "checkpoints" / "20"), shift=5.0, seed=2)
+    summary = evaluate_run_checkpoints(str(run), plot=False)
+    assert summary["num_checkpoints"] == 2
+    assert summary["best_checkpoint"] == 10  # unshifted rollout wins
+    assert os.path.exists(run / "ks_results.csv")
+    assert os.path.exists(run / "ks_summary.json")
+    per, combined = load_checkpoint_pvalues(str(run / "checkpoints" / "10"))
+    assert combined > 0.01
+    assert "energy_total" in per
+
+
+def test_gt_baseline_and_metamacros(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ds = GravityDatasetOtf(batch_size=8, sim_length=300, cache_data=False, seed=0)
+    floor = gt_baseline_pvalues(ds, n_pairs=2)
+    assert len(floor) == 2 and all(p > 1e-6 for p in floor)
+    meta = baseline_metamacros(ds, num_batches=3, save_dir=str(tmp_path / "meta"))
+    assert "per_macro" in meta and len(meta["combined_pvalues"]) == 3
+    assert os.path.exists(tmp_path / "meta" / "baseline_metamacros.json")
+
+
+def test_compare_dt(tmp_path, monkeypatch):
+    monkeypatch.chdir(tmp_path)
+    ds = GravityDatasetOtf(batch_size=6, sim_length=200, cache_data=False, seed=1)
+    out = compare_dt(ds, dt_values=(0.01, 0.02), save_dir=str(tmp_path / "dt"))
+    assert "0.01" in out["results"] and "0.02" in out["results"]
+    # same dt as base -> statistically indistinguishable macros
+    assert out["results"]["0.01"]["combined"] > 1e-4
+
+
+# ----------------------------------------------------------------- HPO
+
+
+def test_hpo_sampler_and_spaces():
+    space = hpo.search_space("segnn")
+    assert set(space) == {"lr", "hidden_features", "num_layers", "lmax_h"}
+    sampler = hpo.TPESampler(space, seed=0)
+    history = []
+    for i in range(12):
+        p = sampler.propose(history)
+        assert 0.05 <= p["lr"] <= 2.0
+        assert p["hidden_features"] in (48, 64, 96, 128)
+        # reward small lr to check TPE concentrates
+        history.append({"params": p, "value": -abs(math.log(p["lr"] / 0.1))})
+    # after warmup, proposals should prefer the good region more than chance
+    props = [sampler.propose(history)["lr"] for _ in range(10)]
+    assert np.median(props) < 1.0
+
+
+def test_adjust_width_to_target():
+    kwargs, n = hpo.adjust_width_to_target(
+        "graph_transformer", {"num_layers": 4, "num_heads": 4, "hidden_features": 256},
+        target=1_800_000,
+    )
+    assert abs(n - 1_800_000) / 1_800_000 <= hpo.PARAM_TOLERANCE
+    assert kwargs["hidden_features"] % 16 == 0
+
+
+def test_score_run(tmp_path):
+    run = tmp_path / "run"
+    _fake_checkpoint(str(run / "checkpoints" / "1"), shift=0.0, seed=3)
+    s = hpo.score_run(str(run))
+    assert s > math.log(1e-300)
+
+
+def test_run_study_with_stub_objective(tmp_path):
+    calls = []
+
+    def objective(model_kwargs, trainer_overrides):
+        calls.append(model_kwargs)
+        return -abs(math.log(trainer_overrides["learning_rate"] / 0.2))
+
+    best = hpo.run_study(
+        "egnn_mc",
+        trials=5,
+        study_dir=str(tmp_path / "hpo"),
+        objective_fn=objective,
+    )
+    assert best is not None and best["value"] is not None
+    store = tmp_path / "hpo" / "egnn_mc_free_trials.jsonl"
+    assert store.exists()
+    records = [json.loads(l) for l in open(store)]
+    assert len(records) == 5
+    # resume: no extra trials run
+    best2 = hpo.run_study(
+        "egnn_mc", trials=5, study_dir=str(tmp_path / "hpo"), objective_fn=objective
+    )
+    assert len([json.loads(l) for l in open(store)]) == 5
+    assert best2["value"] == best["value"]

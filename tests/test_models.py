@@ -36,6 +36,10 @@ TINY = {
 # approximately equivariant (S2 grid discretization) -> loose tolerance.
 EQUIVARIANT = {"painn", "segnn", "ponita", "cgenn", "equiformer_v2"}
 EQUIV_ATOL = {"ponita": 5e-2}
+# equiformer_v2's reference velocity lift (nn.Linear(3,3C)+bias) is not
+# equivariant; the rotation test uses the equivariant embedding mode to
+# verify the SO(3)/SO(2) machinery itself.
+EQUIV_EXTRA = {"equiformer_v2": {"equivariant_embedding": True}}
 
 
 def make_scene(key, B=2, N=5, dtype=jnp.float32):
@@ -89,7 +93,7 @@ def test_rotation_equivariance(name):
         pytest.skip(f"{name} not yet implemented")
     scene = make_scene(jax.random.PRNGKey(6))
     mask = G.knn_mask(scene.pos, 4)
-    model = create_model(name, **TINY[name])
+    model = create_model(name, **{**TINY[name], **EQUIV_EXTRA.get(name, {})})
     params = model.init(jax.random.PRNGKey(7), scene, mask)
     out = model.apply(params, scene, mask)
 
