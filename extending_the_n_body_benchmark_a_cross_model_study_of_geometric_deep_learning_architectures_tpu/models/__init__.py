@@ -81,6 +81,13 @@ def _register_extended_models() -> None:
     from .cgenn import CGENN  # noqa: F401
 
     register_model("cgenn", CGENN, dict(hidden_features=96, num_layers=4))
+    from .gmn import GMN  # noqa: F401
+
+    register_model(
+        "gmn",
+        GMN,
+        dict(hidden_features=64, num_layers=4, n_isolated=5, n_stick=0, n_hinge=0),
+    )
     from .equiformer_v2 import EquiformerV2  # noqa: F401
 
     register_model(

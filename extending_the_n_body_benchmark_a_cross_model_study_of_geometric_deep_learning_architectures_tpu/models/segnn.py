@@ -63,6 +63,7 @@ class _SEGNNLayer(nn.Module):
     edge_attr_irreps: Irreps
     node_attr_irreps: Irreps
     additional_message_irreps: Irreps
+    norm: str | None = None
 
     @nn.compact
     def __call__(self, x, edge_sh, node_attr, additional, adj):
@@ -93,7 +94,14 @@ class _SEGNNLayer(nn.Module):
         u = SteerableTensorProduct(self.hidden_irreps, self.hidden_irreps, self.node_attr_irreps)(
             u, node_attr
         )
-        return x + u, None  # residual (segnn.py:303); (carry, out) for nn.scan
+        x = x + u  # residual (segnn.py:303)
+        if self.norm == "instance":  # feature norm (segnn.py:256-261)
+            from ..ops.steerable import SteerableInstanceNorm
+
+            x = SteerableInstanceNorm(self.hidden_irreps)(x)
+        elif self.norm not in (None, "none"):
+            raise NotImplementedError(f"norm '{self.norm}' not supported")
+        return x, None  # (carry, out) for nn.scan
 
 
 class SEGNN(nn.Module):
@@ -132,6 +140,7 @@ class SEGNN(nn.Module):
             edge_attr_irreps=self.attr_irreps,
             node_attr_irreps=self.attr_irreps,
             additional_message_irreps=self.additional_message_irreps,
+            norm=self.normalization_type,
         )
         self.pre_pool1 = SteerableTPSwishGate(
             self.hidden_irreps, self.hidden_irreps, self.attr_irreps

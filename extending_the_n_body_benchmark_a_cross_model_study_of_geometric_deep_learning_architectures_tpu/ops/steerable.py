@@ -392,6 +392,48 @@ class GateActivation(nn.Module):
         return jnp.concatenate([scalars] + pieces, axis=-1)
 
 
+class SteerableInstanceNorm(nn.Module):
+    """Per-graph instance norm over irreps (``models/segnn/instance_norm.py:
+    8-129``), dense formulation: input ``[B, N, irreps.dim]`` where each
+    batch element is one simulation graph.
+
+    Scalars are mean-centred per graph; every irrep channel is divided by
+    the graph-reduced component norm; learnable per-channel weight and
+    per-scalar bias ('component' normalization, 'mean' reduce).
+    """
+
+    irreps: Irreps
+    eps: float = 1e-5
+    affine: bool = True
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
+        ir = Irreps(self.irreps)
+        num_features = ir.num_irreps
+        num_scalar = sum(mul for mul, (l, _) in ir if l == 0)
+        if self.affine:
+            weight = self.param("weight", nn.initializers.ones, (num_features,))
+            bias = self.param("bias", nn.initializers.zeros, (num_scalar,))
+        pieces, iw, ib = [], 0, 0
+        for sl, (mul, (l, _)) in zip(ir.slices(), ir):
+            d = 2 * l + 1
+            field = x[..., sl].reshape(x.shape[:-1] + (mul, d))
+            if l == 0:
+                field = field - jnp.mean(field, axis=1, keepdims=True)
+            norm = jnp.mean(field * field, axis=-1)  # component normalization
+            norm = jnp.mean(norm, axis=1, keepdims=True)  # per-graph reduce
+            scale = (norm + self.eps) ** -0.5  # [B, 1, mul]
+            if self.affine:
+                scale = scale * weight[iw : iw + mul].astype(x.dtype)
+                iw += mul
+            field = field * scale[..., None]
+            if self.affine and l == 0:
+                field = field + bias[ib : ib + mul].astype(x.dtype)[..., :, None]
+                ib += mul
+            pieces.append(field.reshape(x.shape[:-1] + (mul * d,)))
+        return jnp.concatenate(pieces, axis=-1)
+
+
 class SteerableTPSwishGate(nn.Module):
     """``O3TensorProductSwishGate``: TP into gate irreps, then Gate."""
 

@@ -1,0 +1,106 @@
+"""Offline datagen (constrained rigid systems) + dataset loader."""
+
+import numpy as np
+import jax
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.offline_datagen import (
+    generate_offline_dataset,
+    simulate_system,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.offline_dataset import (
+    OfflineNBodyDataset,
+)
+
+
+def test_isolated_system_runs():
+    loc, vel, edges, charges = simulate_system(
+        jax.random.PRNGKey(0), n_isolated=5, n_stick=0, n_hinge=0,
+        T=500, sample_freq=50,
+    )
+    assert loc.shape == (10, 5, 3)
+    assert np.isfinite(np.asarray(loc)).all()
+    c = np.asarray(charges)
+    np.testing.assert_allclose(np.asarray(edges), c @ c.T)
+
+
+def test_stick_constraint_preserved():
+    loc, vel, edges, charges = simulate_system(
+        jax.random.PRNGKey(1), n_isolated=1, n_stick=2, n_hinge=0,
+        T=500, sample_freq=10,
+    )
+    loc = np.asarray(loc)
+    # sticks occupy nodes (1,2) and (3,4); lengths must stay constant
+    for (a, b) in [(1, 2), (3, 4)]:
+        lengths = np.linalg.norm(loc[:, a] - loc[:, b], axis=-1)
+        np.testing.assert_allclose(lengths, lengths[0], rtol=1e-4)
+
+
+def test_hinge_constraint_preserved():
+    loc, vel, edges, charges = simulate_system(
+        jax.random.PRNGKey(2), n_isolated=0, n_stick=0, n_hinge=1,
+        T=500, sample_freq=10,
+    )
+    loc = np.asarray(loc)
+    # hinge beams (0-1) and (0-2) keep their lengths
+    for b in (1, 2):
+        lengths = np.linalg.norm(loc[:, b] - loc[:, 0], axis=-1)
+        np.testing.assert_allclose(lengths, lengths[0], rtol=1e-4)
+
+
+def test_generate_and_load_roundtrip(tmp_path):
+    tag = generate_offline_dataset(
+        str(tmp_path), n_isolated=5, n_stick=0, n_hinge=0,
+        num_train=6, num_valid=2, num_test=2, length=400, length_test=400,
+        sample_freq=50, seed=0,
+    )
+    assert tag == "_charged5_0_0"
+    ds = OfflineNBodyDataset(
+        "5_0_0", str(tmp_path), partition="train", frame_0=2, frame_T=5,
+        batch_size=3,
+    )
+    assert len(ds) == 6 and ds.num_nodes == 5
+    scene, y, mask = ds.get_batch()
+    assert scene.pos.shape == (3, 5, 3)
+    assert y.shape == (3, 5, 6)
+    assert mask.shape == (3, 5, 5)
+    assert int(mask.sum()) == 3 * 5 * 4  # cutoff_rate 0 -> fully connected
+
+    # cutoff pruning removes the largest distances
+    ds2 = OfflineNBodyDataset(
+        "5_0_0", str(tmp_path), partition="train", frame_0=2, frame_T=5,
+        batch_size=3, cutoff_rate=0.5,
+    )
+    _, _, mask2 = ds2.get_batch()
+    assert int(mask2.sum()) == 3 * int(5 * 4 * 0.5)
+
+    # test split applies rotation augmentation but keeps geometry (distances)
+    ds_test = OfflineNBodyDataset(
+        "5_0_0", str(tmp_path), partition="test", frame_0=2, frame_T=5,
+        batch_size=2,
+    )
+    raw = np.load(tmp_path / "loc_test_charged5_0_0.npy")[:, 2]
+    d_raw = np.linalg.norm(raw[:, :, None] - raw[:, None, :], axis=-1)
+    d_rot = np.linalg.norm(
+        ds_test.loc_0[:, :, None] - ds_test.loc_0[:, None, :], axis=-1
+    )
+    np.testing.assert_allclose(d_rot, d_raw, atol=1e-3)
+    assert not np.allclose(ds_test.loc_0, raw, atol=1e-5)  # actually rotated
+
+
+def test_offline_batch_feeds_models(tmp_path):
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
+        create_model,
+    )
+
+    generate_offline_dataset(
+        str(tmp_path), n_isolated=5, num_train=4, num_valid=1, num_test=1,
+        length=200, length_test=200, sample_freq=50,
+    )
+    ds = OfflineNBodyDataset("5_0_0", str(tmp_path), frame_0=1, frame_T=3, batch_size=2)
+    scene, y, mask = ds.get_batch()
+    m = create_model("egnn_mc", num_layers=1, hidden_node_dim=16,
+                     hidden_edge_dim=16, hidden_coord_dim=16)
+    params = m.init(jax.random.PRNGKey(0), scene, mask)
+    out = m.apply(params, scene, mask)
+    assert out.shape == (2, 5, 6)
