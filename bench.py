@@ -3,14 +3,15 @@
 This is the BASELINE.md north-star metric: the reference's slowest path is
 ~1000 *sequential* model calls with per-step Python graph rebuilds
 (``helper_scripts/infer_self_feed.py:99-181``) on a GH200.  Here the whole
-rollout is one jitted ``lax.scan`` on TPU.
+rollout is one jitted ``lax.scan`` on TPU; the bench tries three configs —
+XLA f32, Pallas-fused f32, Pallas-fused bf16 — and reports the fastest.
 
 Baseline number: the fastest reference model classes sustain ~30-34 train
 steps/s at N=5 on GH200 (derived in BASELINE.md from
-``ks_test/run_8h_cutoffs.json``); rollout steps are the same order (one model
-call per step, same batch).  At N=100 the reference would be strictly slower
-(O(N^2) edges in Python-built graphs), so 30 steps/s is a *generous* stand-in
-for the GH200 rollout rate that we compare against.
+``ks_test/run_8h_cutoffs.json``); rollout steps are the same order (one
+model call per step, same batch).  At N=100 the reference would be strictly
+slower (O(N^2) Python-built graphs), so 30 steps/s is a *generous* stand-in
+for the GH200 rollout rate we compare against.
 
 Prints exactly one JSON line on stdout:
   {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
@@ -37,60 +38,87 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
 
 GH200_BASELINE_STEPS_PER_SEC = 30.0  # see module docstring
 
-N_BODIES = 100
-BATCH = 64
-ROLLOUT_STEPS = 500
-MODEL = "egnn_mc"  # flagship; reference default config (6 layers, 128 wide)
+import os
+
+N_BODIES = int(os.environ.get("BENCH_N_BODIES", 100))
+BATCH = int(os.environ.get("BENCH_BATCH", 64))
+ROLLOUT_STEPS = int(os.environ.get("BENCH_STEPS", 500))
+MODEL = os.environ.get("BENCH_MODEL", "egnn_mc")  # reference default size
 
 
 def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
-def main() -> None:
-    key = jax.random.PRNGKey(0)
-    log(f"devices: {jax.devices()}")
-
-    model = create_model(MODEL)
-    pos = jax.random.normal(key, (BATCH, N_BODIES, 3), jnp.float32)
-    vel = jax.random.normal(jax.random.PRNGKey(1), (BATCH, N_BODIES, 3), jnp.float32) * 0.1
-    scene0 = Scene(
-        pos=pos, vel=vel, force=jnp.zeros_like(pos), mass=jnp.ones((BATCH, N_BODIES, 1))
+def make_scene(dtype):
+    pos = jax.random.normal(jax.random.PRNGKey(0), (BATCH, N_BODIES, 3), jnp.float32)
+    vel = (
+        jax.random.normal(jax.random.PRNGKey(1), (BATCH, N_BODIES, 3), jnp.float32)
+        * 0.1
+    )
+    return Scene(
+        pos=pos.astype(dtype),
+        vel=vel.astype(dtype),
+        force=jnp.zeros_like(pos, dtype),
+        mass=jnp.ones((BATCH, N_BODIES, 1), dtype),
     )
 
+
+def measure(use_pallas: bool, dtype, params) -> float:
+    model = create_model(MODEL, use_pallas=use_pallas)
+    scene0 = make_scene(dtype)
+    cast = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    fn = make_rollout_fn(model, num_steps=ROLLOUT_STEPS, num_neighbors=None)
+    t0 = time.time()
+    loc, vel, survived = fn(cast, scene0)
+    jax.block_until_ready(loc)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    loc, vel, survived = fn(cast, scene0)
+    jax.block_until_ready(loc)
+    dt = time.time() - t0
+    sps = (ROLLOUT_STEPS - 1) / dt
+    name = f"{'pallas' if use_pallas else 'xla'}-{jnp.dtype(dtype).name}"
+    log(
+        f"{name}: compile+1st {compile_s:.1f}s, steady {dt:.3f}s "
+        f"-> {sps:.1f} steps/s (survived min {int(survived.min())})"
+    )
+    return sps
+
+
+def main() -> None:
+    log(f"devices: {jax.devices()}")
+    on_tpu = jax.default_backend() == "tpu"
+
+    model = create_model(MODEL)
+    scene0 = make_scene(jnp.float32)
     from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core import (
         graph as G,
     )
 
-    mask = G.knn_mask(scene0.pos, N_BODIES - 1)
-    t0 = time.time()
-    params = model.init(jax.random.PRNGKey(2), scene0, mask)
-    log(f"init: {time.time()-t0:.1f}s")
-
-    fn = make_rollout_fn(model, num_steps=ROLLOUT_STEPS, num_neighbors=None)
-
-    t0 = time.time()
-    loc, vel_out, survived = fn(params, scene0)
-    jax.block_until_ready(loc)
-    log(f"compile+first run: {time.time()-t0:.1f}s")
-
-    t0 = time.time()
-    loc, vel_out, survived = fn(params, scene0)
-    jax.block_until_ready(loc)
-    dt = time.time() - t0
-    steps_per_sec = (ROLLOUT_STEPS - 1) / dt
-    log(
-        f"rollout: {ROLLOUT_STEPS-1} steps x {BATCH} sims x {N_BODIES} bodies "
-        f"in {dt:.3f}s -> {steps_per_sec:.1f} steps/s"
+    params = model.init(
+        jax.random.PRNGKey(2), scene0, G.knn_mask(scene0.pos, N_BODIES - 1)
     )
 
+    results = {}
+    results["xla-float32"] = measure(False, jnp.float32, params)
+    if on_tpu:
+        for use_pallas, dtype in [(True, jnp.float32), (True, jnp.bfloat16)]:
+            name = f"{'pallas' if use_pallas else 'xla'}-{jnp.dtype(dtype).name}"
+            try:
+                results[name] = measure(use_pallas, dtype, params)
+            except Exception as e:  # keep the bench robust to kernel issues
+                log(f"{name} failed: {e!r}")
+
+    best_name, best = max(results.items(), key=lambda kv: kv[1])
+    log(f"best config: {best_name}")
     print(
         json.dumps(
             {
                 "metric": f"self_feed_rollout_steps_per_sec_n{N_BODIES}_{MODEL}",
-                "value": round(steps_per_sec, 2),
+                "value": round(best, 2),
                 "unit": "steps/s",
-                "vs_baseline": round(steps_per_sec / GH200_BASELINE_STEPS_PER_SEC, 2),
+                "vs_baseline": round(best / GH200_BASELINE_STEPS_PER_SEC, 2),
             }
         )
     )

@@ -22,11 +22,25 @@ from flax import linen as nn
 
 from ..core import graph as G
 from ..core.scene import Scene
-from .common import MLP, TorchLinear, get_activation, xavier_uniform_gain
+from .common import (
+    MLP,
+    TorchLinear,
+    get_activation,
+    torch_bias_init_for,
+    torch_kernel_init,
+    xavier_uniform_gain,
+)
 
 
 class _EGNNBlock(nn.Module):
-    """One message-passing block (``egnn_mc.py:45-186``)."""
+    """One message-passing block (``egnn_mc.py:45-186``).
+
+    The edge stage's parameters are declared explicitly so the XLA dense
+    path and the fused Pallas kernel
+    (:func:`..ops.pallas.egnn_messages.fused_egnn_messages`) share them.
+    ``use_pallas`` requires silu activation and is intended for rollout on
+    TPU at larger N where the [B,N,N,He] message tensors dominate HBM.
+    """
 
     hidden_node_dim: int
     hidden_edge_dim: int
@@ -37,11 +51,34 @@ class _EGNNBlock(nn.Module):
     recurrent: bool = True
     norm_diff: bool = False
     tanh: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, h, coord, velocity, edge_attr, mask):
         """h [B,N,H]; coord, velocity [B,N,3]; edge_attr [B,N,N,E]; mask [B,N,N]."""
         act = get_activation(self.activation)
+        H = h.shape[-1]
+        He = self.hidden_edge_dim
+        Hc = self.hidden_coord_dim
+        E = self.edge_attr_dim
+        in_dim = 2 * H + 1 + E
+
+        def t_init(fan_in):
+            return torch_bias_init_for(fan_in)
+
+        # edge MLP params (MLP([He], He, silu, final_act) equivalent)
+        W1 = self.param("edge_w1", torch_kernel_init, (in_dim, He))
+        b1 = self.param("edge_b1", t_init(in_dim), (He,))
+        W2 = self.param("edge_w2", torch_kernel_init, (He, He))
+        b2 = self.param("edge_b2", t_init(He), (He,))
+        # coord head params (TorchLinear(Hc) -> act -> Dense(1, xavier 1e-3))
+        Wc1 = self.param("coord_w1", torch_kernel_init, (He, Hc))
+        bc1 = self.param("coord_b1", t_init(He), (Hc,))
+        wc2 = self.param("coord_w2", xavier_uniform_gain(0.001), (Hc, 1))
+
+        dtype = h.dtype
+        W1d, b1d, W2d, b2d = (p.astype(dtype) for p in (W1, b1, W2, b2))
+        Wc1d, bc1d, wc2d = (p.astype(dtype) for p in (Wc1, bc1, wc2))
 
         # --- coord2radial (egnn_mc.py:155-164): receiver-minus-sender diffs.
         coord_diff = G.rel_positions(coord)  # [B,N,N,3]
@@ -50,32 +87,33 @@ class _EGNNBlock(nn.Module):
             norm = jnp.clip(G.safe_sqrt(radial), 1.0, None)
             coord_diff = coord_diff / norm
 
-        # --- edge model (egnn_mc.py:108-122): [h_i, h_j, d^2, edge_attr].
-        n = h.shape[1]
-        h_i = jnp.broadcast_to(h[:, :, None, :], h.shape[:1] + (n, n, h.shape[-1]))
-        h_j = jnp.broadcast_to(h[:, None, :, :], h.shape[:1] + (n, n, h.shape[-1]))
-        edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
-        m_ij = MLP(
-            hidden=[self.hidden_edge_dim],
-            out=self.hidden_edge_dim,
-            activation=self.activation,
-            final_act=True,
-        )(edge_in)
+        if self.use_pallas:
+            from ..ops.pallas.egnn_messages import fused_egnn_messages
 
-        # --- coord model (egnn_mc.py:135-153): scalar weight per edge, tiny init.
-        w = TorchLinear(self.hidden_coord_dim)(m_ij)
-        w = act(w)
-        w = nn.Dense(
-            1,
-            use_bias=False,
-            kernel_init=xavier_uniform_gain(0.001),
-            dtype=w.dtype,
-            param_dtype=jnp.float32,
-        )(w)
-        if self.tanh:
-            w = jnp.tanh(w)
-        trans = jnp.clip(w * coord_diff, -100.0, 100.0)  # [B,N,N,3]
-        coord = coord + G.masked_segment_mean(trans, mask) * self.coords_weight
+            hA = h @ W1d[:H] + b1d
+            hB = h @ W1d[H : 2 * H]
+            geom = jnp.concatenate([radial, edge_attr, coord_diff], axis=-1)
+            agg, trans_mean = fused_egnn_messages(
+                hA, hB, geom, mask,
+                W1d[2 * H :], W2d, b2d, Wc1d, bc1d, wc2d[:, 0],
+                tanh=self.tanh,
+            )
+            coord = coord + trans_mean * self.coords_weight
+        else:
+            # --- edge model (egnn_mc.py:108-122): [h_i, h_j, d^2, edge_attr].
+            n = h.shape[1]
+            h_i = jnp.broadcast_to(h[:, :, None, :], h.shape[:1] + (n, n, H))
+            h_j = jnp.broadcast_to(h[:, None, :, :], h.shape[:1] + (n, n, H))
+            edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
+            m_ij = act(act(edge_in @ W1d + b1d) @ W2d + b2d)
+
+            # --- coord model (egnn_mc.py:135-153): scalar weight per edge.
+            w = act(m_ij @ Wc1d + bc1d) @ wc2d
+            if self.tanh:
+                w = jnp.tanh(w)
+            trans = jnp.clip(w * coord_diff, -100.0, 100.0)  # [B,N,N,3]
+            coord = coord + G.masked_segment_mean(trans, mask) * self.coords_weight
+            agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
 
         # --- velocity-gated coord update (egnn_mc.py:178-183).
         w_vel = MLP(
@@ -83,8 +121,7 @@ class _EGNNBlock(nn.Module):
         )(h)  # [B,N,1]
         coord = coord + w_vel * velocity
 
-        # --- node model (egnn_mc.py:124-133): masked mean of messages.
-        agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
+        # --- node model (egnn_mc.py:124-133).
         h_out = MLP(
             hidden=[self.hidden_node_dim],
             out=self.hidden_node_dim,
@@ -113,6 +150,7 @@ class EGNNMC(nn.Module):
     norm_diff: bool = True
     tanh: bool = True
     num_targets: int = 2
+    use_pallas: bool = False  # fused message kernel (TPU, silu only)
 
     def featurize(self, scene: Scene, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Node features and edge attributes of the egnn_mc dataloader
@@ -150,6 +188,7 @@ class EGNNMC(nn.Module):
                 recurrent=self.recurrent,
                 norm_diff=self.norm_diff,
                 tanh=self.tanh,
+                use_pallas=self.use_pallas,
             )(h, coord, velocity, edge_attr, mask)
 
         pos_dt = coord - scene.pos

@@ -1,0 +1,89 @@
+"""Pallas TPU kernels vs their XLA reference paths (interpreter mode on CPU)."""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core import (
+    graph as G,
+    physics,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core.scene import (
+    Scene,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
+    create_model,
+)
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas import (
+    egnn_messages as EM,
+    gravity as GK,
+)
+
+
+@pytest.mark.parametrize("B,N", [(4, 5), (2, 100), (1, 300)])
+def test_pallas_gravity_matches_xla(B, N):
+    rng = np.random.default_rng(0)
+    pos = jnp.asarray(rng.normal(size=(B, N, 3)), jnp.float32)
+    mass = jnp.asarray(np.abs(rng.normal(size=(B, N, 1))) + 0.5, jnp.float32)
+    want = physics.compute_acceleration(pos, mass, 2.0, 0.2)
+    got = GK.pallas_acceleration(pos, mass, 2.0, 0.2, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5
+    )
+
+
+def test_fused_egnn_messages_matches_dense(monkeypatch):
+    monkeypatch.setattr(
+        EM, "fused_egnn_messages", functools.partial(EM.fused_egnn_messages, interpret=True)
+    )
+    B, N = 2, 32
+    key = jax.random.PRNGKey(0)
+    scene = Scene(
+        pos=jax.random.normal(key, (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32),
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.ones((B, N, 1), jnp.float32),
+    )
+    kw = dict(num_layers=2, hidden_node_dim=32, hidden_edge_dim=32, hidden_coord_dim=32)
+    m_ref = create_model("egnn_mc", **kw)
+    m_pal = create_model("egnn_mc", use_pallas=True, **kw)
+    mask = G.knn_mask(scene.pos, N - 1)
+    params = m_ref.init(jax.random.PRNGKey(2), scene, mask)
+    out_ref = m_ref.apply(params, scene, mask)
+    out_pal = m_pal.apply(params, scene, mask)
+    np.testing.assert_allclose(np.asarray(out_pal), np.asarray(out_ref), atol=1e-5)
+
+    # non-trivial knn mask exercises the masked-mean path
+    mask_k = G.knn_mask(scene.pos, 5)
+    np.testing.assert_allclose(
+        np.asarray(m_pal.apply(params, scene, mask_k)),
+        np.asarray(m_ref.apply(params, scene, mask_k)),
+        atol=1e-5,
+    )
+
+
+def test_fused_egnn_messages_padding_path(monkeypatch):
+    """N not a multiple of the receiver tile exercises padding."""
+    monkeypatch.setattr(
+        EM, "fused_egnn_messages", functools.partial(EM.fused_egnn_messages, interpret=True)
+    )
+    B, N = 1, 20  # 20 % 16 != 0
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32),
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.ones((B, N, 1), jnp.float32),
+    )
+    kw = dict(num_layers=1, hidden_node_dim=16, hidden_edge_dim=16, hidden_coord_dim=16)
+    m_ref = create_model("egnn_mc", **kw)
+    m_pal = create_model("egnn_mc", use_pallas=True, **kw)
+    mask = G.knn_mask(scene.pos, N - 1)
+    params = m_ref.init(jax.random.PRNGKey(2), scene, mask)
+    np.testing.assert_allclose(
+        np.asarray(m_pal.apply(params, scene, mask)),
+        np.asarray(m_ref.apply(params, scene, mask)),
+        atol=1e-5,
+    )
