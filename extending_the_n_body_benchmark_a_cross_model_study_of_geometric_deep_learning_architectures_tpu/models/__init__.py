@@ -68,12 +68,17 @@ def create_model(model_type: str, **overrides):
 
 def _register_extended_models() -> None:
     """Import model families implemented in later milestones, if present."""
-    from .segnn import SEGNN  # noqa: F401
+    from .segnn import SEGNN, SEConv  # noqa: F401
 
     register_model(
         "segnn",
         SEGNN,
         dict(hidden_features=96, lmax_attr=1, lmax_h=1, num_layers=20),
+    )
+    register_model(
+        "seconv",
+        SEConv,
+        dict(hidden_features=96, lmax_attr=1, lmax_h=1, num_layers=8),
     )
     from .ponita import PONITA  # noqa: F401
 

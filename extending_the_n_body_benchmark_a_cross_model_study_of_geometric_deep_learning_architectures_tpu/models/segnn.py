@@ -32,9 +32,11 @@ from flax import linen as nn
 from ..core import graph as G
 from ..core.scene import Scene
 from ..ops.steerable import (
+    GateActivation,
     Irreps,
     SteerableTensorProduct,
     SteerableTPSwishGate,
+    gate_irreps,
     spherical_harmonics,
     weight_balanced_irreps,
 )
@@ -189,6 +191,101 @@ class SEGNN(nn.Module):
         pos_dt = irrep1o_to_vec(x[..., 0:3])
         vel = irrep1o_to_vec(x[..., 3:6])
         return jnp.concatenate([pos_dt, vel], axis=-1)
+
+    def get_model_size(self) -> int:
+        return self.hidden_features
+
+
+class _SEConvLayer(nn.Module):
+    """Steerable conv layer (``models/segnn/seconv.py:136-241``): messages
+    through one ('linear') or two ('nonlinear') tensor products into the
+    gate irreps, scatter-add, gate, residual."""
+
+    hidden_irreps: Irreps
+    edge_attr_irreps: Irreps
+    additional_message_irreps: Irreps
+    conv_type: str = "linear"
+
+    @nn.compact
+    def __call__(self, x, edge_sh, node_attr, additional, adj):
+        n = x.shape[1]
+        message_in = (
+            self.hidden_irreps + self.hidden_irreps + self.additional_message_irreps
+        )
+        irreps_g = gate_irreps(self.hidden_irreps)
+
+        x_r = jnp.broadcast_to(x[:, :, None, :], x.shape[:1] + (n, n, x.shape[-1]))
+        x_s = jnp.broadcast_to(x[:, None, :, :], x.shape[:1] + (n, n, x.shape[-1]))
+        m_in = jnp.concatenate([x_r, x_s, additional], axis=-1)
+        if self.conv_type == "linear":
+            m = SteerableTensorProduct(message_in, irreps_g, self.edge_attr_irreps)(
+                m_in, edge_sh
+            )
+        elif self.conv_type == "nonlinear":
+            m = SteerableTPSwishGate(
+                message_in, self.hidden_irreps, self.edge_attr_irreps
+            )(m_in, edge_sh)
+            m = SteerableTensorProduct(
+                self.hidden_irreps, irreps_g, self.edge_attr_irreps
+            )(m, edge_sh)
+        else:
+            raise ValueError(f"Invalid conv_type {self.conv_type}")
+        msg = G.masked_segment_sum(m, adj)
+        x = x + GateActivation(self.hidden_irreps)(msg)  # gate + residual
+        return x, None
+
+
+class SEConv(nn.Module):
+    """Alternative steerable conv net (``models/segnn/seconv.py:12-133``) —
+    present in the reference but registered nowhere; exposed here as model
+    type 'seconv' with the SEGNN featurization."""
+
+    hidden_features: int = 96
+    lmax_attr: int = 1
+    lmax_h: int = 1
+    num_layers: int = 8
+    conv_type: str = "linear"
+    center_mode: str = "coords"
+
+    @nn.compact
+    def __call__(self, scene: Scene, mask, train: bool = False):
+        attr_irreps = Irreps.spherical_harmonics(self.lmax_attr)
+        hidden_irreps = weight_balanced_irreps(
+            self.hidden_features, attr_irreps, self.lmax_h
+        )
+        input_irreps = Irreps("1x1o+1x1o+1x0e")
+        output_irreps = Irreps("1x1o+1x1o")
+
+        helper = SEGNN(
+            hidden_features=self.hidden_features,
+            lmax_attr=self.lmax_attr,
+            lmax_h=self.lmax_h,
+            num_layers=0,
+            center_mode=self.center_mode,
+        )
+        x, edge_sh, node_attr, additional, adj = helper.featurize(scene, mask)
+
+        x = SteerableTensorProduct(input_irreps, hidden_irreps, attr_irreps)(
+            x, node_attr
+        )
+        scan = nn.scan(
+            _SEConvLayer,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=self.num_layers,
+        )(
+            hidden_irreps=hidden_irreps,
+            edge_attr_irreps=attr_irreps,
+            additional_message_irreps=Irreps("2x0e"),
+            conv_type=self.conv_type,
+        )
+        x, _ = scan(x, edge_sh, node_attr, additional, adj)
+        x = SteerableTPSwishGate(hidden_irreps, hidden_irreps, attr_irreps)(x, node_attr)
+        x = SteerableTensorProduct(hidden_irreps, output_irreps, attr_irreps)(x, node_attr)
+        return jnp.concatenate(
+            [irrep1o_to_vec(x[..., 0:3]), irrep1o_to_vec(x[..., 3:6])], axis=-1
+        )
 
     def get_model_size(self) -> int:
         return self.hidden_features

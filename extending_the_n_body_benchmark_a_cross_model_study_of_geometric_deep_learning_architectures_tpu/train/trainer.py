@@ -21,6 +21,7 @@ Key parity points (file:line into /root/reference):
 from __future__ import annotations
 
 import datetime
+import functools
 import json
 import os
 import time
@@ -63,6 +64,22 @@ class Trainer:
 
         seed = args.seed if getattr(args, "seed", None) is not None else 0
         self._rng = jax.random.PRNGKey(seed)
+
+        # Multi-device data parallelism over the sim axis (SURVEY.md §5.8):
+        # params/opt replicated, batch sharded; XLA inserts the psum.
+        self.mesh = None
+        n_dev = len(jax.devices())
+        if (
+            getattr(args, "data_parallel", True)
+            and n_dev > 1
+            and args.batch_size % n_dev == 0
+        ):
+            from ..parallel.mesh import make_mesh, replicate, scene_sharding
+
+            self.mesh = make_mesh()
+            self._data_sharding = scene_sharding(self.mesh)
+            self._replicated = replicate(self.mesh)
+            print(f"Data-parallel over {n_dev} devices (sim axis)")
 
         # Parameter init from a dummy scene (static shapes).
         scene0, y0 = dataset.get_batch()
@@ -111,7 +128,16 @@ class Trainer:
         k = self.num_neighbors
         targets = self.targets
 
-        @jax.jit
+        abort_on_nan = getattr(self.args, "abort_on_nan_activations", False)
+
+        jit_kwargs: dict = {"donate_argnums": (0, 1)}
+        if self.mesh is not None:
+            ds = self._data_sharding
+            repl = self._replicated
+            scene_sh = Scene(pos=ds, vel=ds, force=ds, mass=ds)
+            jit_kwargs["in_shardings"] = (repl, repl, scene_sh, ds, repl)
+
+        @functools.partial(jax.jit, **jit_kwargs)
         def step(params, opt_state, scene: Scene, y, rng):
             def lf(p):
                 mask = G.knn_mask(scene.pos, k)
@@ -121,11 +147,67 @@ class Trainer:
 
             (loss, (pred, terms)), grads = jax.value_and_grad(lf, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
+            if abort_on_nan:
+                # skip the whole update on non-finite activations
+                # (trainer.py:245-260 abort_on_nan_activations)
+                ok = jnp.isfinite(pred).all()
+                updates = jax.tree_util.tree_map(
+                    lambda u: jnp.where(ok, u, jnp.zeros_like(u)), updates
+                )
+                new_opt = jax.tree_util.tree_map(
+                    lambda new, old: jnp.where(ok, new, old)
+                    if hasattr(new, "dtype")
+                    else new,
+                    new_opt,
+                    opt_state,
+                )
             new_params = optax.apply_updates(params, updates)
             perc = percentage_errors(pred, y, targets)
             return new_params, new_opt, loss, terms, perc
 
         return step
+
+    def _build_layer_stats_fn(self):
+        """Per-layer activation statistics via flax capture_intermediates —
+        the role of the reference's model debug-stats machinery
+        (``PaiNN.py:188-207`` + ``trainer.py:328-350``)."""
+        model = self.model
+        k = self.num_neighbors
+
+        @jax.jit
+        def stats(params, scene: Scene):
+            mask = G.knn_mask(scene.pos, k)
+            _, state = model.apply(
+                params, scene, mask, capture_intermediates=True, mutable=["intermediates"]
+            )
+            import flax
+
+            flat = flax.traverse_util.flatten_dict(state["intermediates"])
+            out = {}
+            for path, vals in flat.items():
+                if len(path) > 3:  # top-level layers only
+                    continue
+                v = vals[0] if isinstance(vals, tuple) else vals
+                if not hasattr(v, "dtype"):
+                    continue
+                name = "/".join(p for p in path if p != "__call__")
+                out[f"{name}.absmax"] = jnp.max(jnp.abs(v))
+                out[f"{name}.std"] = jnp.std(v)
+                out[f"{name}.nan_or_inf"] = (~jnp.isfinite(v)).any()
+            return out
+
+        return stats
+
+    def log_layer_stats(self, scene: Scene) -> Dict[str, float]:
+        if not hasattr(self, "_layer_stats_fn"):
+            self._layer_stats_fn = self._build_layer_stats_fn()
+        raw = self._layer_stats_fn(self.params, scene)
+        record = {"step": int(self.step_count)}
+        for name, v in raw.items():
+            record[f"debug/{name}"] = float(v)
+        with open(os.path.join(self.save_dir_path, "layer_stats.jsonl"), "a") as f:
+            f.write(json.dumps(record) + "\n")
+        return record
 
     # ------------------------------------------------------------------ io
 
@@ -185,10 +267,13 @@ class Trainer:
         means: Dict[str, RunningMean] = {}
         t_epoch = time.time()
         examples = 0
-        for _ in range(n_steps):
+        stats_every = getattr(self.args, "debug_layer_stats_every", None)
+        for step_i in range(n_steps):
             scene, y = self.dataset.get_batch()
             scene = scene.astype(self.dtype)
             y = y.astype(self.dtype)
+            if stats_every and step_i % int(stats_every) == 0:
+                self.log_layer_stats(scene)
             self._rng, rng = jax.random.split(self._rng)
             self.params, self.opt_state, loss, terms, perc = self._train_step(
                 self.params, self.opt_state, scene, y, rng

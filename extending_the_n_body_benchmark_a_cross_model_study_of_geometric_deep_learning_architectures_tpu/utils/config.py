@@ -82,6 +82,9 @@ class TrainerConfig(BaseModel):
     clip_gradients_norm: Optional[float] = None
     clip_gradients_value: Optional[float] = None
     discard_nan_gradients: bool = False
+    abort_on_nan_activations: bool = False
+    debug_layer_stats_every: Optional[int] = None
+    data_parallel: bool = True  # shard the sim batch across all devices
     self_feed_limit_steps: Optional[int] = None
     save_trajectory_npys: bool = True
     plot_macros: bool = True

@@ -101,6 +101,25 @@ def test_full_training_run_with_self_feed(tmp_run_dir):
     assert sf_recs
 
 
+def test_layer_stats_and_nan_abort(tmp_run_dir):
+    args, cfg = make_args(
+        tmp_run_dir,
+        debug_layer_stats_every=2,
+        abort_on_nan_activations=True,
+        test_macros_every=99,
+    )
+    trainer = create_trainer_from_args(args, resolved_config=cfg)
+    trainer.train()
+    stats_path = os.path.join(trainer.save_dir_path, "layer_stats.jsonl")
+    assert os.path.exists(stats_path)
+    recs = [json.loads(l) for l in open(stats_path)]
+    assert recs and any(k.endswith(".absmax") for k in recs[0])
+    assert any(k.endswith(".nan_or_inf") for k in recs[0])
+    # training still progressed with the abort guard enabled
+    metrics = [json.loads(l) for l in open(os.path.join(trainer.save_dir_path, "metrics.jsonl"))]
+    assert any("train/loss" in r and np.isfinite(r["train/loss"]) for r in metrics)
+
+
 def test_checkpoint_resume(tmp_run_dir):
     args, cfg = make_args(tmp_run_dir)
     trainer = create_trainer_from_args(args, resolved_config=cfg)

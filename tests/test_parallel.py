@@ -99,6 +99,37 @@ def test_sharded_rollout_runs():
     assert np.all(np.asarray(survived) == 4)
 
 
+def test_trainer_auto_data_parallel(tmp_path, monkeypatch):
+    """Trainer shards the sim batch over all 8 virtual devices."""
+    monkeypatch.chdir(tmp_path)
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.trainer import (
+        create_trainer_from_args,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.config import (
+        flatten_args,
+    )
+
+    cfg = {
+        "main": {"model_type": "egnn_mc"},
+        "models": {"egnn_mc": dict(num_layers=1, hidden_node_dim=16,
+                                   hidden_edge_dim=16, hidden_coord_dim=16)},
+        "dataloaders": {"egnn_mc_nbody": {
+            "batch_size": 8, "cache_data": False, "seed": 0,
+            "gravity_dataset": {"num_atoms": 5, "sim_length": 200, "sample_freq": 10},
+        }},
+        "trainers": {"trainer_nbody": {
+            "steps_per_epoch": 3, "train_steps": 1, "test_macros_every": 99,
+            "save_model_every": 99, "plot_macros": False, "seed": 0,
+        }},
+    }
+    trainer = create_trainer_from_args(flatten_args(cfg))
+    assert trainer.mesh is not None
+    trainer.train_one_epoch()
+    # params replicated across all devices after the sharded step
+    leaf = jax.tree_util.tree_leaves(trainer.params)[0]
+    assert len(leaf.sharding.device_set) == 8
+
+
 def test_body_axis_mesh_constructs():
     mesh = make_mesh(8, body_parallel=2)
     assert mesh.devices.shape == (4, 2)

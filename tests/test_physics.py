@@ -108,7 +108,8 @@ def test_com_frame_and_shapes():
         np.asarray(
             physics.compute_acceleration(loc[:, 0], mass, 2.0, 0.2) * mass
         ),
-        rtol=1e-6,
+        rtol=1e-4,  # f32 fusion-order differences between in-scan and fresh
+        atol=1e-5,
     )
 
 
