@@ -188,6 +188,31 @@ def combined_pvalues_report(run_paths: List[str], out_csv: str) -> List[Dict]:
     return rows
 
 
+def time_cutoff_report(
+    run_paths: List[str], hours: float = 8.0, out_json: Optional[str] = None
+) -> Dict[str, int]:
+    """Max checkpoint reached within a wall-clock budget per run — the
+    throughput record of ``ks_test/run_8h_cutoffs.json`` (BASELINE.md
+    derives train steps/s from it).  Uses the ``_time`` stamps in each
+    run's ``metrics.jsonl``."""
+    out: Dict[str, int] = {}
+    for rp in run_paths:
+        path = os.path.join(rp, "metrics.jsonl")
+        if not os.path.exists(path):
+            continue
+        records = [json.loads(l) for l in open(path) if l.strip()]
+        t0 = min(r["_time"] for r in records)
+        best = 0
+        for r in records:
+            if "self_feed/step" in r and r["_time"] - t0 <= hours * 3600:
+                best = max(best, int(r["self_feed/step"]) + 1)
+        out[rp] = best
+    if out_json:
+        with open(out_json, "w") as f:
+            json.dump({"hours": hours, "max_checkpoint": out}, f, indent=2)
+    return out
+
+
 def main(argv=None):  # pragma: no cover - thin CLI
     import argparse
 

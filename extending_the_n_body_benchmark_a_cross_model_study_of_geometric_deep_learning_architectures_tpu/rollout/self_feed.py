@@ -98,6 +98,7 @@ def run_self_feed(
     num_steps: Optional[int] = None,
     num_neighbors: Optional[int] = None,
     batch_size: Optional[int] = None,
+    mesh=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
     """Full checkpoint evaluation rollout against fresh ground truth.
 
@@ -118,5 +119,9 @@ def run_self_feed(
     fn = make_rollout_fn(
         model, T, num_neighbors=num_neighbors, target=dataset.target
     )
+    if mesh is not None and scene0.pos.shape[0] % mesh.devices.size == 0:
+        from ..parallel.sharded import shard_scene
+
+        scene0 = shard_scene(scene0, mesh)
     loc_pred, vel_pred, survived = fn(params, scene0)
     return loc_gt, vel_gt, loc_pred, vel_pred, int(survived.min())

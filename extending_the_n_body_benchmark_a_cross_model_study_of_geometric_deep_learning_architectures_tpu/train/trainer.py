@@ -60,6 +60,10 @@ class Trainer:
             "double": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
             "single": jnp.float32,
             "bfloat16": jnp.bfloat16,
+            # reference "autocast" (mixed precision + GradScaler,
+            # trainer.py:39-44) maps to bfloat16 compute — TPU bf16 needs no
+            # loss scaling
+            "autocast": jnp.bfloat16,
         }[getattr(args, "precision_mode", "single")]
 
         seed = args.seed if getattr(args, "seed", None) is not None else 0
@@ -310,6 +314,12 @@ class Trainer:
 
                         print(f"Couldn't run self-feed. Reason: {e}")
                         traceback.print_exc()
+                if (
+                    getattr(self.args, "do_validation", False)
+                    and self.step_count % getattr(self.args, "validation_frequency", 1)
+                    == 0
+                ):
+                    self.validate_one_epoch()
         except KeyboardInterrupt:
             print("Training interrupted. Saving model...")
             self.save_model(final=True)
@@ -320,6 +330,44 @@ class Trainer:
         print(
             f"Training for {self.step_count} steps took {time.time() - start:.2f} seconds"
         )
+
+    # ------------------------------------------------------------ validation
+
+    def validate_one_epoch(self, num_batches: int = 10) -> Dict[str, float]:
+        """Validation over fresh OTF batches (``trainer.py:393-439``; the
+        reference notes OTF data makes every batch a fresh validation batch).
+        Saves ``model_best_valid_loss.ckpt`` on improvement
+        (``trainer.py:456-461``)."""
+        if not hasattr(self, "_valid_step"):
+            model, loss_fn, k = self.model, self.loss_fn, self.num_neighbors
+            targets = self.targets
+
+            @jax.jit
+            def vstep(params, scene, y):
+                mask = G.knn_mask(scene.pos, k)
+                pred = model.apply(params, scene, mask)
+                total, terms = loss_fn(pred, scene, y)
+                return total, terms, percentage_errors(pred, y, targets)
+
+            self._valid_step = vstep
+
+        means: Dict[str, RunningMean] = {}
+        for _ in range(num_batches):
+            scene, y = self.dataset.get_batch()
+            total, terms, perc = self._valid_step(
+                self.params, scene.astype(self.dtype), y.astype(self.dtype)
+            )
+            means.setdefault("loss", RunningMean()).update(total)
+            for name, v in {**terms, **perc}.items():
+                means.setdefault(name, RunningMean()).update(v)
+        log = {f"valid/{k}": m.compute() for k, m in means.items()}
+        log["valid/step"] = self.step_count - 1
+        self.logger.log(log)
+
+        if log["valid/loss"] < self.best_metrics.get("valid_loss", float("inf")):
+            self.best_metrics["valid_loss"] = log["valid/loss"]
+            self.save_model(filename="model_best_valid_loss.ckpt")
+        return log
 
     # ------------------------------------------------------------- self-feed
 
@@ -334,6 +382,7 @@ class Trainer:
             self.dataset,
             num_steps=self.args.self_feed_limit_steps,
             num_neighbors=None,  # rollout is fully connected (infer_self_feed.py:58)
+            mesh=self.mesh,  # shard the sim batch when data-parallel
         )
         per_macro, macro_combined, _, _ = artifacts.evaluate_rollout(
             save_dir,
