@@ -392,6 +392,10 @@ class EquiformerV2(nn.Module):
     # (equiformer_v2_nbody.py:209,500-523) which is NOT rotation equivariant.
     # False reproduces that; True uses a per-channel scalar gate (equivariant)
     equivariant_embedding: bool = False
+    # 'projection' (Linear(1,1024), the nbody default), 'gaussian'
+    # (GaussianSmearing 0..cutoff with 1024 centres), or 'exponential_decay'
+    # (equiformer_v2_nbody.py:218-235)
+    distance_function: str = "projection"
 
     @nn.compact
     def __call__(self, scene: Scene, mask, train: bool = False):
@@ -426,8 +430,20 @@ class EquiformerV2(nn.Module):
         x = x.at[..., 0, :].add(sphere_emb)
         x = x.at[..., 1:4, :].add(vel_emb)
 
-        # distance expansion: "projection" Linear(1, 1024)
-        x_edge = TorchLinear(1024)(dist)
+        # distance expansion (equiformer_v2_nbody.py:218-235)
+        if self.distance_function == "projection":
+            x_edge = TorchLinear(1024)(dist)
+        elif self.distance_function == "gaussian":
+            # GaussianSmearing(0, cutoff, 1024, basis_width_scalar=2)
+            offsets = jnp.linspace(0.0, self.max_radius, 1024, dtype=dtype)
+            width = 2.0 * (self.max_radius / 1023.0)
+            coeff = -0.5 / width**2
+            x_edge = jnp.exp(coeff * (dist - offsets) ** 2)
+        elif self.distance_function == "exponential_decay":
+            scale = self.param("decay_scale", nn.initializers.ones, ())
+            x_edge = TorchLinear(1024)(jnp.exp(-scale.astype(dtype) * jnp.abs(dist)))
+        else:
+            raise ValueError(self.distance_function)
 
         # edge-degree embedding (input_block.py): radial -> m0 coeffs,
         # rotate back, mean^sum at receiver / AVG_DEGREE
