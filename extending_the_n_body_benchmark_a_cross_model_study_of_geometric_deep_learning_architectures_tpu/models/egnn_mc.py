@@ -54,8 +54,11 @@ class _EGNNBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, h, coord, velocity, edge_attr, mask):
-        """h [B,N,H]; coord, velocity [B,N,3]; edge_attr [B,N,N,E]; mask [B,N,N]."""
+    def __call__(self, carry, velocity, edge_attr, mask):
+        """carry = (h [B,N,H], coord [B,N,3]); velocity [B,N,3];
+        edge_attr [B,N,N,E]; mask [B,N,N].  (carry, out) form for nn.scan —
+        one compiled layer body for any depth."""
+        h, coord = carry
         act = get_activation(self.activation)
         H = h.shape[-1]
         He = self.hidden_edge_dim
@@ -129,7 +132,7 @@ class _EGNNBlock(nn.Module):
         )(jnp.concatenate([h, agg], axis=-1))
         if self.recurrent:
             h_out = h + h_out
-        return h_out, coord
+        return (h_out, coord), None
 
 
 class EGNNMC(nn.Module):
@@ -177,19 +180,25 @@ class EGNNMC(nn.Module):
         coord = scene.pos
         velocity = scene.vel
 
-        for _ in range(self.num_layers):
-            h, coord = _EGNNBlock(
-                hidden_node_dim=self.hidden_node_dim,
-                hidden_edge_dim=self.hidden_edge_dim,
-                hidden_coord_dim=self.hidden_coord_dim,
-                edge_attr_dim=self.edge_attr_dim,
-                activation=self.activation,
-                coords_weight=self.coords_weight,
-                recurrent=self.recurrent,
-                norm_diff=self.norm_diff,
-                tanh=self.tanh,
-                use_pallas=self.use_pallas,
-            )(h, coord, velocity, edge_attr, mask)
+        scan = nn.scan(
+            _EGNNBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 3,
+            length=self.num_layers,
+        )(
+            hidden_node_dim=self.hidden_node_dim,
+            hidden_edge_dim=self.hidden_edge_dim,
+            hidden_coord_dim=self.hidden_coord_dim,
+            edge_attr_dim=self.edge_attr_dim,
+            activation=self.activation,
+            coords_weight=self.coords_weight,
+            recurrent=self.recurrent,
+            norm_diff=self.norm_diff,
+            tanh=self.tanh,
+            use_pallas=self.use_pallas,
+        )
+        (h, coord), _ = scan((h, coord), velocity, edge_attr, mask)
 
         pos_dt = coord - scene.pos
         head_in = jnp.concatenate([h, pos_dt, velocity], axis=-1)

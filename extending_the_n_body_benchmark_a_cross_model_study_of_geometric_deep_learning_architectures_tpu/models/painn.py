@@ -151,6 +151,41 @@ class _Readout(nn.Module):
         return EquivariantLinear(self.vector_outputs)(mu_proj)  # [B,N,3,V]
 
 
+class _PaiNNBlock(nn.Module):
+    """Interaction + mixing pair (``PaiNN.py:291-329``), scan-compatible."""
+
+    hidden: int
+    residual_scale_interaction: float = 1.0
+    residual_scale_mixing: float = 1.0
+    tanh_message_scale: Optional[float] = None
+    tanh_mixing_scale: Optional[float] = None
+    clip_scalar_msg_value: Optional[float] = None
+    clip_vector_msg_norm: Optional[float] = None
+    clip_q_value: Optional[float] = None
+    clip_mu_norm: Optional[float] = None
+    filter_gain: float = 1.0
+
+    @nn.compact
+    def __call__(self, carry, rbf, unit, cut, mask):
+        q, mu = carry
+        q, mu = _Interaction(
+            hidden=self.hidden,
+            residual_scale=self.residual_scale_interaction,
+            tanh_message_scale=self.tanh_message_scale,
+            clip_scalar_msg_value=self.clip_scalar_msg_value,
+            clip_vector_msg_norm=self.clip_vector_msg_norm,
+            filter_gain=self.filter_gain,
+        )(q, mu, rbf, unit, cut, mask)
+        q, mu = _Mixing(
+            hidden=self.hidden,
+            residual_scale=self.residual_scale_mixing,
+            tanh_mixing_scale=self.tanh_mixing_scale,
+            clip_mu_norm=self.clip_mu_norm,
+            clip_q_value=self.clip_q_value,
+        )(q, mu)
+        return (q, mu), None
+
+
 class PaiNN(nn.Module):
     """Full PaiNN for n-body targets (``PaiNN.py:353-500``).
 
@@ -195,22 +230,25 @@ class PaiNN(nn.Module):
         rbf = G.gaussian_rbf(dist, self.num_rbf, self.cutoff)
         cut = G.cosine_cutoff(dist, self.cutoff)
 
-        for _ in range(self.num_layers):
-            q, mu = _Interaction(
-                hidden=H,
-                residual_scale=self.residual_scale_interaction,
-                tanh_message_scale=self.tanh_message_scale,
-                clip_scalar_msg_value=self.clip_scalar_msg_value,
-                clip_vector_msg_norm=self.clip_vector_msg_norm,
-                filter_gain=self.filter_gain,
-            )(q, mu, rbf, unit, cut, mask)
-            q, mu = _Mixing(
-                hidden=H,
-                residual_scale=self.residual_scale_mixing,
-                tanh_mixing_scale=self.tanh_mixing_scale,
-                clip_mu_norm=self.clip_mu_norm,
-                clip_q_value=self.clip_q_value,
-            )(q, mu)
+        scan = nn.scan(
+            _PaiNNBlock,
+            variable_axes={"params": 0},
+            split_rngs={"params": True},
+            in_axes=(nn.broadcast,) * 4,
+            length=self.num_layers,
+        )(
+            hidden=H,
+            residual_scale_interaction=self.residual_scale_interaction,
+            residual_scale_mixing=self.residual_scale_mixing,
+            tanh_message_scale=self.tanh_message_scale,
+            tanh_mixing_scale=self.tanh_mixing_scale,
+            clip_scalar_msg_value=self.clip_scalar_msg_value,
+            clip_vector_msg_norm=self.clip_vector_msg_norm,
+            clip_q_value=self.clip_q_value,
+            clip_mu_norm=self.clip_mu_norm,
+            filter_gain=self.filter_gain,
+        )
+        (q, mu), _ = scan((q, mu), rbf, unit, cut, mask)
 
         pos_delta = _Readout(hidden=H)(q, mu)[..., 0]  # [B,N,3]
         vel_delta = _Readout(hidden=H)(q, mu)[..., 0]

@@ -91,6 +91,13 @@ class Trainer:
         mask0 = G.knn_mask(scene0.pos, self.num_neighbors)
         self._rng, init_key = jax.random.split(self._rng)
         self.params = model.init(init_key, scene0, mask0)
+        if args.model_type == "ponita":
+            # one-time kernel std re-calibration on a real batch — the
+            # reference does this mutably on the first training forward
+            # (ponita nn/conv.py:115-140); here it is a pure init-time step
+            from ..models.ponita import calibrate_params
+
+            self.params = calibrate_params(model, self.params, scene0, mask0)
         self.n_params = sum(int(x.size) for x in jax.tree_util.tree_leaves(self.params))
 
         self.tx = create_optimizer(

@@ -136,7 +136,7 @@ def test_translation_invariance_of_pos_dt(name):
     model = create_model(name, **TINY[name])
     params = model.init(jax.random.PRNGKey(12), scene, mask)
     out = model.apply(params, scene, mask)
-    shift = jnp.asarray([10.0, -5.0, 3.0])
+    shift = jnp.asarray([10.0, -5.0, 3.0], scene.pos.dtype)
     scene_t = Scene(pos=scene.pos + shift, vel=scene.vel, force=scene.force, mass=scene.mass)
     out_t = model.apply(params, scene_t, mask)
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out), atol=1e-4)
