@@ -96,9 +96,12 @@ def main() -> None:
         graph as G,
     )
 
-    params = model.init(
+    t0 = time.time()
+    params = jax.jit(model.init)(
         jax.random.PRNGKey(2), scene0, G.knn_mask(scene0.pos, N_BODIES - 1)
     )
+    jax.block_until_ready(params)
+    log(f"init: {time.time()-t0:.1f}s")
 
     results = {}
     results["xla-float32"] = measure(False, jnp.float32, params)

@@ -254,7 +254,29 @@ class Trainer:
             )
         return path
 
+    def _model_restoring_links(self, model_path: str) -> None:
+        """Cross-link run dirs on resume (``trainer.py:95-120``):
+        ``<new>/restored_from/<old>`` and ``<old>/restoring/<new>``."""
+        try:
+            restored_dir = os.path.abspath(os.path.dirname(model_path))
+            name = os.path.basename(os.path.normpath(restored_dir))
+            link1 = os.path.join(self.save_dir_path, "restored_from", name)
+            os.makedirs(os.path.dirname(link1), exist_ok=True)
+            if not os.path.exists(link1):
+                os.symlink(restored_dir, link1, target_is_directory=True)
+            link2 = os.path.join(
+                restored_dir, "restoring", os.path.basename(self.save_dir_path)
+            )
+            os.makedirs(os.path.dirname(link2), exist_ok=True)
+            if not os.path.exists(link2):
+                os.symlink(
+                    os.path.abspath(self.save_dir_path), link2, target_is_directory=True
+                )
+        except OSError:
+            pass  # symlinks are best-effort bookkeeping
+
     def load_model_from_checkpoint(self, path: str):
+        self._model_restoring_links(path)
         ckpt = load_checkpoint(path)
         # Restore into the freshly-initialised pytree structures.
         self.params = jax.tree_util.tree_map(

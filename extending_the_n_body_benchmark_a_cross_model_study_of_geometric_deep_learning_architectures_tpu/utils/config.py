@@ -51,7 +51,9 @@ class DataloaderConfig(BaseModel):
     batch_size: int = 64
     num_neighbors: Optional[int] = None
     double_precision: bool = False
-    use_cached: bool = False
+    # replay cached simulations on fresh runs (the reference default:
+    # use_cached = model_path is None, n_body_dataloader.py:23)
+    use_cached: bool = True
     cache_data: bool = True
     seed: Optional[int] = None
     gravity_dataset: GravityDatasetConfig = Field(default_factory=GravityDatasetConfig)
