@@ -67,7 +67,9 @@ def make_scene(dtype):
 def measure(use_pallas: bool, dtype, params) -> float:
     model = create_model(MODEL, use_pallas=use_pallas)
     scene0 = make_scene(dtype)
-    cast = jax.tree_util.tree_map(lambda x: x.astype(dtype), params)
+    cast = jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x.astype(dtype), p)
+    )(params)
     fn = make_rollout_fn(model, num_steps=ROLLOUT_STEPS, num_neighbors=None)
     t0 = time.time()
     loc, vel, survived = fn(cast, scene0)
@@ -97,9 +99,9 @@ def main() -> None:
     )
 
     t0 = time.time()
-    params = jax.jit(model.init)(
-        jax.random.PRNGKey(2), scene0, G.knn_mask(scene0.pos, N_BODIES - 1)
-    )
+    params = jax.jit(
+        lambda key, sc: model.init(key, sc, G.knn_mask(sc.pos, N_BODIES - 1))
+    )(jax.random.PRNGKey(2), scene0)
     jax.block_until_ready(params)
     log(f"init: {time.time()-t0:.1f}s")
 

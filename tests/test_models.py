@@ -142,6 +142,22 @@ def test_translation_invariance_of_pos_dt(name):
     np.testing.assert_allclose(np.asarray(out_t), np.asarray(out), atol=1e-4)
 
 
+def test_segnn_center_mode_coords_quirk():
+    """Default 'coords' mode reproduces the reference's per-node coordinate
+    mean subtraction (o3_building_blocks.py:274: pos.mean(1, keepdims=True))."""
+    scene = make_scene(jax.random.PRNGKey(20))
+    model = create_model("segnn", num_layers=1, hidden_features=16)  # default mode
+    mask = G.knn_mask(scene.pos, 4)
+    x, *_ = model.featurize(scene, mask)
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models.segnn import (
+        irrep1o_to_vec,
+    )
+
+    centered = irrep1o_to_vec(x[..., 0:3])
+    want = scene.pos - jnp.mean(scene.pos, axis=-1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(centered), np.asarray(want), rtol=1e-6)
+
+
 def test_model_registry_create():
     m = create_model("egnn_mc", num_layers=3)
     assert m.num_layers == 3
