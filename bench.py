@@ -64,23 +64,32 @@ def make_scene(dtype):
     )
 
 
-def measure(use_pallas: bool, dtype, params) -> float:
-    model = create_model(MODEL, use_pallas=use_pallas)
+def measure(use_pallas: bool, dtype, params, tile: int = 32, label=None) -> float:
+    kwargs = {"use_pallas": use_pallas}
+    if use_pallas:
+        kwargs["pallas_tile"] = tile
+    model = create_model(MODEL, **kwargs)
     scene0 = make_scene(dtype)
     cast = jax.jit(
         lambda p: jax.tree_util.tree_map(lambda x: x.astype(dtype), p)
     )(params)
     fn = make_rollout_fn(model, num_steps=ROLLOUT_STEPS, num_neighbors=None)
+
+    def run_and_sync():
+        loc, vel, survived = fn(cast, scene0)
+        # force full materialisation: block_until_ready is not a true barrier
+        # over the axon remote backend — fetch a value instead
+        checksum = float(jnp.sum(loc[:, -1]))
+        return loc, vel, survived, checksum
+
     t0 = time.time()
-    loc, vel, survived = fn(cast, scene0)
-    jax.block_until_ready(loc)
+    loc, vel, survived, _ = run_and_sync()
     compile_s = time.time() - t0
     t0 = time.time()
-    loc, vel, survived = fn(cast, scene0)
-    jax.block_until_ready(loc)
+    loc, vel, survived, _ = run_and_sync()
     dt = time.time() - t0
     sps = (ROLLOUT_STEPS - 1) / dt
-    name = f"{'pallas' if use_pallas else 'xla'}-{jnp.dtype(dtype).name}"
+    name = label or f"{'pallas' if use_pallas else 'xla'}-{jnp.dtype(dtype).name}"
     log(
         f"{name}: compile+1st {compile_s:.1f}s, steady {dt:.3f}s "
         f"-> {sps:.1f} steps/s (survived min {int(survived.min())})"
@@ -108,10 +117,14 @@ def main() -> None:
     results = {}
     results["xla-float32"] = measure(False, jnp.float32, params)
     if on_tpu:
-        for use_pallas, dtype in [(True, jnp.float32), (True, jnp.bfloat16)]:
-            name = f"{'pallas' if use_pallas else 'xla'}-{jnp.dtype(dtype).name}"
+        configs = [
+            ("xla-bfloat16", False, jnp.bfloat16, 32),
+            ("pallas-f32-t64", True, jnp.float32, 64),
+            ("pallas-bf16-t64", True, jnp.bfloat16, 64),
+        ]
+        for name, use_pallas, dtype, tile in configs:
             try:
-                results[name] = measure(use_pallas, dtype, params)
+                results[name] = measure(use_pallas, dtype, params, tile, name)
             except Exception as e:  # keep the bench robust to kernel issues
                 log(f"{name} failed: {e!r}")
 

@@ -52,6 +52,7 @@ class _EGNNBlock(nn.Module):
     norm_diff: bool = False
     tanh: bool = False
     use_pallas: bool = False
+    pallas_tile: int = 32
 
     @nn.compact
     def __call__(self, carry, velocity, edge_attr, mask):
@@ -99,7 +100,7 @@ class _EGNNBlock(nn.Module):
             agg, trans_mean = fused_egnn_messages(
                 hA, hB, geom, mask,
                 W1d[2 * H :], W2d, b2d, Wc1d, bc1d, wc2d[:, 0],
-                tanh=self.tanh,
+                tanh=self.tanh, tile=self.pallas_tile,
             )
             coord = coord + trans_mean * self.coords_weight
         else:
@@ -154,6 +155,7 @@ class EGNNMC(nn.Module):
     tanh: bool = True
     num_targets: int = 2
     use_pallas: bool = False  # fused message kernel (TPU, silu only)
+    pallas_tile: int = 32  # receiver rows per kernel program
 
     def featurize(self, scene: Scene, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Node features and edge attributes of the egnn_mc dataloader
@@ -197,6 +199,7 @@ class EGNNMC(nn.Module):
             norm_diff=self.norm_diff,
             tanh=self.tanh,
             use_pallas=self.use_pallas,
+            pallas_tile=self.pallas_tile,
         )
         (h, coord), _ = scan((h, coord), velocity, edge_attr, mask)
 

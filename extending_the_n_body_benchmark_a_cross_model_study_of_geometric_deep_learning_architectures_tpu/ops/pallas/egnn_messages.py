@@ -37,7 +37,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 MAX_N = 256
-_TI = 16
+_DEFAULT_TI = 32  # receiver rows per program (grid = B * ceil(N/TI))
 _GEOM_LANES = 8  # [radial, eattr0..3, cd_x, cd_y, cd_z]
 
 
@@ -59,25 +59,30 @@ def _kernel(
     he: int,
     hc: int,
 ):
-    hA = hA_ref[0]  # [TI, He]
-    hB = hB_ref[0]  # [N, He]
-    geom = geom_ref[0]  # [TI, N, 8]
-    mask = mask_ref[0]  # [TI, N]
+    # compute in f32 regardless of storage dtype (Mosaic also requires
+    # 32-bit types for the minor-dim reshapes below)
+    hA = hA_ref[0].astype(jnp.float32)  # [TI, He]
+    hB = hB_ref[0].astype(jnp.float32)  # [N, He]
+    geom = geom_ref[0].astype(jnp.float32)  # [TI, N, 8]
+    mask = mask_ref[0].astype(jnp.float32)  # [TI, N]
     ti, n = mask.shape
 
     # m1 = silu(hA_i + hB_j + g_ij @ Wg)  -- [TI, N, He]
     g_flat = geom.reshape(ti * n, _GEOM_LANES)
     g_term = jnp.dot(
-        g_flat[:, 0:5], w_geom_ref[0:5, :], preferred_element_type=jnp.float32
+        g_flat[:, 0:5], w_geom_ref[0:5, :].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
     ).reshape(ti, n, he)
-    m1 = jax.nn.silu(hA[:, None, :].astype(jnp.float32) + hB[None, :, :] + g_term)
+    m1 = jax.nn.silu(hA[:, None, :] + hB[None, :, :] + g_term)
 
     # m2 = silu(m1 @ W2 + b2)
     m2 = jax.nn.silu(
         jnp.dot(
-            m1.reshape(ti * n, he), W2_ref[:, :], preferred_element_type=jnp.float32
+            m1.reshape(ti * n, he),
+            W2_ref[:, :].astype(jnp.float32),
+            preferred_element_type=jnp.float32,
         )
-        + b2_ref[0][None, :]
+        + b2_ref[0][None, :].astype(jnp.float32)
     )  # [TI*N, He]
 
     # message aggregation (masked mean over senders)
@@ -88,22 +93,22 @@ def _kernel(
 
     # coordinate weights: scalar per edge
     w = jax.nn.silu(
-        jnp.dot(m2, Wc1_ref[:, :], preferred_element_type=jnp.float32)
-        + bc1_ref[0][None, :]
+        jnp.dot(m2, Wc1_ref[:, :].astype(jnp.float32), preferred_element_type=jnp.float32)
+        + bc1_ref[0][None, :].astype(jnp.float32)
     )
-    w = jnp.dot(w, wc2_ref[:, :], preferred_element_type=jnp.float32)[:, 0]
+    w = jnp.dot(
+        w, wc2_ref[:, :].astype(jnp.float32), preferred_element_type=jnp.float32
+    )[:, 0]
     if tanh:
         w = jnp.tanh(w)
-    trans = jnp.clip(
-        w.reshape(ti, n, 1) * geom[:, :, 5:8].astype(jnp.float32), -100.0, 100.0
-    )
+    trans = jnp.clip(w.reshape(ti, n, 1) * geom[:, :, 5:8], -100.0, 100.0)
     trans = jnp.sum(trans * mask[:, :, None], axis=1) * inv_count  # [TI, 3]
     trans_ref[0, :, 0:3] = trans.astype(trans_ref.dtype)
     trans_ref[0, :, 3:8] = jnp.zeros((ti, 5), trans_ref.dtype)
 
 
 @functools.partial(
-    jax.jit, static_argnames=("tanh", "interpret")
+    jax.jit, static_argnames=("tanh", "interpret", "tile")
 )
 def fused_egnn_messages(
     hA: jnp.ndarray,  # [B, N, He]  = h @ W1a + b1
@@ -118,10 +123,12 @@ def fused_egnn_messages(
     wc2: jnp.ndarray,  # [Hc]
     tanh: bool = True,
     interpret: bool = False,
+    tile: int = _DEFAULT_TI,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ``(agg [B,N,He], trans [B,N,3])`` — masked means over senders."""
     B, N, He = hA.shape
     Hc = Wc1.shape[1]
+    _TI = min(tile, ((N + 7) // 8) * 8)
     if N % _TI:
         pad = _TI - N % _TI
         hA = jnp.pad(hA, ((0, 0), (0, pad), (0, 0)))
