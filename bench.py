@@ -64,9 +64,9 @@ def make_scene(dtype):
     )
 
 
-def measure(use_pallas: bool, dtype, params, tile: int = 32, label=None) -> float:
+def measure(use_pallas: bool, dtype, params, tile=None, label=None) -> float:
     kwargs = {"use_pallas": use_pallas}
-    if use_pallas:
+    if use_pallas and tile is not None:
         kwargs["pallas_tile"] = tile
     model = create_model(MODEL, **kwargs)
     scene0 = make_scene(dtype)
@@ -117,9 +117,11 @@ def main() -> None:
     results = {}
     results["xla-float32"] = measure(False, jnp.float32, params)
     if on_tpu:
+        # f32 tile 64 exceeds the 16M VMEM budget at He=128/N=100
+        # (verified on v5e); 32 is the largest working f32 tile there.
         configs = [
-            ("xla-bfloat16", False, jnp.bfloat16, 32),
-            ("pallas-f32-t64", True, jnp.float32, 64),
+            ("xla-bfloat16", False, jnp.bfloat16, None),
+            ("pallas-f32-t32", True, jnp.float32, 32),
             ("pallas-bf16-t64", True, jnp.bfloat16, 64),
         ]
         for name, use_pallas, dtype, tile in configs:

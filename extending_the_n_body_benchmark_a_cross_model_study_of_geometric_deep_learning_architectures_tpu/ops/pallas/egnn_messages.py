@@ -21,8 +21,10 @@ once outside, O(N)) plus the in-kernel geometric term
 ``g_ij @ W1_geom`` where ``g_ij = [d2, e_ij(4), coord_diff(3)]`` is packed
 into an 8-lane geometry tensor.
 
-Supports N <= MAX_N (=256) per simulation — one j-span in VMEM; receiver
-tiles of TI=16.  Inputs may be f32 or bf16 (accumulation in f32).
+Supports N <= MAX_N (=256) per simulation — one j-span in VMEM; the
+receiver tile is tunable (``tile`` arg, default ``_DEFAULT_TI``; VMEM use
+scales with tile * N * He — f32/He=128/N=100 fits tile 32, bf16 fits 64).
+Inputs may be f32 or bf16 (all in-kernel compute in f32).
 """
 
 from __future__ import annotations
@@ -59,31 +61,38 @@ def _kernel(
     he: int,
     hc: int,
 ):
-    # compute in f32 regardless of storage dtype (Mosaic also requires
-    # 32-bit types for the minor-dim reshapes below)
-    hA = hA_ref[0].astype(jnp.float32)  # [TI, He]
-    hB = hB_ref[0].astype(jnp.float32)  # [N, He]
-    geom = geom_ref[0].astype(jnp.float32)  # [TI, N, 8]
-    mask = mask_ref[0].astype(jnp.float32)  # [TI, N]
+    # Matmul operands stay in the storage dtype (bf16 ops with f32
+    # accumulation hit the fast MXU path); elementwise math runs in f32.
+    # The sender dim N is padded to a sublane multiple by the wrapper so the
+    # (TI, N, He) -> (TI*N, He) reshapes below are layout no-ops.
+    op_dtype = hA_ref.dtype
+    hA = hA_ref[0]  # [TI, He]
+    hB = hB_ref[0]  # [N, He]
+    geom = geom_ref[0]  # [TI, N, 8]  (f32)
+    mask = mask_ref[0]  # [TI, N]     (f32)
     ti, n = mask.shape
 
     # m1 = silu(hA_i + hB_j + g_ij @ Wg)  -- [TI, N, He]
     g_flat = geom.reshape(ti * n, _GEOM_LANES)
     g_term = jnp.dot(
-        g_flat[:, 0:5], w_geom_ref[0:5, :].astype(jnp.float32),
+        g_flat[:, 0:5].astype(op_dtype), w_geom_ref[0:5, :],
         preferred_element_type=jnp.float32,
     ).reshape(ti, n, he)
-    m1 = jax.nn.silu(hA[:, None, :] + hB[None, :, :] + g_term)
+    m1 = jax.nn.silu(
+        hA[:, None, :].astype(jnp.float32)
+        + hB[None, :, :].astype(jnp.float32)
+        + g_term
+    )
 
     # m2 = silu(m1 @ W2 + b2)
     m2 = jax.nn.silu(
         jnp.dot(
-            m1.reshape(ti * n, he),
-            W2_ref[:, :].astype(jnp.float32),
+            m1.reshape(ti * n, he).astype(op_dtype),
+            W2_ref[:, :],
             preferred_element_type=jnp.float32,
         )
         + b2_ref[0][None, :].astype(jnp.float32)
-    )  # [TI*N, He]
+    )  # [TI*N, He] f32
 
     # message aggregation (masked mean over senders)
     count = jnp.sum(mask, axis=1, keepdims=True)  # [TI, 1]
@@ -93,11 +102,11 @@ def _kernel(
 
     # coordinate weights: scalar per edge
     w = jax.nn.silu(
-        jnp.dot(m2, Wc1_ref[:, :].astype(jnp.float32), preferred_element_type=jnp.float32)
+        jnp.dot(m2.astype(op_dtype), Wc1_ref[:, :], preferred_element_type=jnp.float32)
         + bc1_ref[0][None, :].astype(jnp.float32)
     )
     w = jnp.dot(
-        w, wc2_ref[:, :].astype(jnp.float32), preferred_element_type=jnp.float32
+        w.astype(op_dtype), wc2_ref[:, :], preferred_element_type=jnp.float32
     )[:, 0]
     if tanh:
         w = jnp.tanh(w)
@@ -129,16 +138,23 @@ def fused_egnn_messages(
     B, N, He = hA.shape
     Hc = Wc1.shape[1]
     _TI = min(tile, ((N + 7) // 8) * 8)
-    if N % _TI:
-        pad = _TI - N % _TI
-        hA = jnp.pad(hA, ((0, 0), (0, pad), (0, 0)))
-        geom = jnp.pad(geom, ((0, 0), (0, pad), (0, 0), (0, 0)))
-        mask = jnp.pad(mask, ((0, 0), (0, pad), (0, 0)))
+    # receiver axis -> multiple of the tile; sender axis -> sublane multiple
+    # (8) so in-kernel (TI, Nj, He) -> (TI*Nj, He) reshapes are layout no-ops
+    pad_i = (-N) % _TI
+    pad_j = (-N) % 8
+    if pad_i or pad_j:
+        hA = jnp.pad(hA, ((0, 0), (0, pad_i), (0, 0)))
+        hB = jnp.pad(hB, ((0, 0), (0, pad_j), (0, 0)))
+        geom = jnp.pad(geom, ((0, 0), (0, pad_i), (0, pad_j), (0, 0)))
+        mask = jnp.pad(mask, ((0, 0), (0, pad_i), (0, pad_j)))
     Ni = hA.shape[1]
+    Nj = hB.shape[1]
 
     w_geom8 = jnp.zeros((8, He), w_geom.dtype).at[0:5].set(w_geom)
     wc2_col = jnp.zeros((Hc, 8), wc2.dtype).at[:, 0].set(wc2)
-    maskf = mask.astype(hA.dtype)
+    # mask/geom carry elementwise-only data: keep f32 (bf16 reshape limits)
+    maskf = mask.astype(jnp.float32)
+    geom = geom.astype(jnp.float32)
 
     kernel = functools.partial(_kernel, tanh=tanh, he=He, hc=Hc)
     grid = (B, Ni // _TI)
@@ -147,12 +163,12 @@ def fused_egnn_messages(
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, _TI, He), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, N, He), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, Nj, He), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
-                (1, _TI, N, _GEOM_LANES), lambda b, i: (b, i, 0, 0),
+                (1, _TI, Nj, _GEOM_LANES), lambda b, i: (b, i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, _TI, N), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, _TI, Nj), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((8, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((He, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),

@@ -1,0 +1,86 @@
+"""Micro-benchmark: fused EGNN message kernel vs the XLA dense equivalent.
+
+One layer's edge stage at the headline bench shape, timed standalone —
+fast iteration for kernel tuning without the full rollout bench.
+
+Run on TPU:  python scripts/kernel_microbench.py [tile ...]
+"""
+
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas.egnn_messages import (
+    fused_egnn_messages,
+)
+
+B, N, H, He, Hc = 64, 100, 128, 128, 128
+REPEAT = 20
+
+
+def sync(x):
+    return float(jnp.sum(x))
+
+
+def main():
+    tiles = [int(t) for t in sys.argv[1:]] or [16, 32]
+    key = jax.random.PRNGKey(0)
+    ks = jax.random.split(key, 12)
+    mk = lambda i, shape, scale=0.1: jax.random.normal(ks[i], shape, jnp.float32) * scale
+    hA = mk(0, (B, N, He))
+    hB = mk(1, (B, N, He))
+    geom = mk(2, (B, N, N, 8))
+    mask = jnp.ones((B, N, N), bool) & ~jnp.eye(N, dtype=bool)
+    w_geom = mk(3, (5, He))
+    W2 = mk(4, (He, He))
+    b2 = mk(5, (He,))
+    Wc1 = mk(6, (He, Hc))
+    bc1 = mk(7, (Hc,))
+    wc2 = mk(8, (Hc,))
+
+    @jax.jit
+    def xla_ref(hA, hB, geom, mask):
+        m1 = jax.nn.silu(
+            hA[:, :, None, :] + hB[:, None, :, :]
+            + jnp.einsum("bijg,gh->bijh", geom[..., :5], w_geom)
+        )
+        m2 = jax.nn.silu(m1 @ W2 + b2)
+        mf = mask.astype(jnp.float32)[..., None]
+        cnt = jnp.clip(mf.sum(2), 1.0, None)
+        agg = (m2 * mf).sum(2) / cnt
+        w = jax.nn.silu(m2 @ Wc1 + bc1) @ wc2[:, None]
+        w = jnp.tanh(w)
+        trans = jnp.clip(w * geom[..., 5:8], -100, 100)
+        tmean = (trans * mf).sum(2) / cnt
+        return agg, tmean
+
+    def bench(fn, *args, **kw):
+        out = fn(*args, **kw)
+        sync(out[0])  # compile + run
+        t0 = time.time()
+        for _ in range(REPEAT):
+            out = fn(*args, **kw)
+        sync(out[0])
+        return (time.time() - t0) / REPEAT * 1000
+
+    ms = bench(xla_ref, hA, hB, geom, mask)
+    print(f"xla dense:            {ms:7.2f} ms/layer-call", flush=True)
+    for dtype, dn in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+        for tile in tiles:
+            try:
+                ms = bench(
+                    fused_egnn_messages,
+                    hA.astype(dtype), hB.astype(dtype), geom.astype(dtype), mask,
+                    w_geom.astype(dtype), W2.astype(dtype), b2.astype(dtype),
+                    Wc1.astype(dtype), bc1.astype(dtype), wc2.astype(dtype),
+                    tanh=True, tile=tile,
+                )
+                print(f"pallas {dn} tile {tile:3d}:  {ms:7.2f} ms/layer-call", flush=True)
+            except Exception as e:
+                print(f"pallas {dn} tile {tile}: FAILED {str(e)[:120]}", flush=True)
+
+
+if __name__ == "__main__":
+    main()
