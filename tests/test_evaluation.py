@@ -136,3 +136,27 @@ def test_run_study_with_stub_objective(tmp_path):
     )
     assert len([json.loads(l) for l in open(store)]) == 5
     assert best2["value"] == best["value"]
+
+
+def test_time_cutoff_report(tmp_path):
+    import time as _time
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation.ks_checkpoints import (
+        time_cutoff_report,
+    )
+
+    run = tmp_path / "run"
+    run.mkdir()
+    t0 = _time.time()
+    recs = [
+        {"_time": t0, "train/loss": 1.0},
+        {"_time": t0 + 100, "self_feed/step": 9},
+        {"_time": t0 + 3600, "self_feed/step": 19},
+        {"_time": t0 + 7200, "self_feed/step": 29},  # outside 1h budget
+    ]
+    with open(run / "metrics.jsonl", "w") as f:
+        for r in recs:
+            f.write(json.dumps(r) + "\n")
+    out = time_cutoff_report([str(run)], hours=1.0, out_json=str(tmp_path / "cut.json"))
+    assert out[str(run)] == 20  # checkpoint reached within 1h
+    assert (tmp_path / "cut.json").exists()

@@ -104,3 +104,49 @@ def test_offline_batch_feeds_models(tmp_path):
     params = m.init(jax.random.PRNGKey(0), scene, mask)
     out = m.apply(params, scene, mask)
     assert out.shape == (2, 5, 6)
+
+
+def test_dataloader_layer_api(tmp_path, monkeypatch):
+    """The L2 dataloader registry exposes the reference API shape."""
+    monkeypatch.chdir(tmp_path)
+    from types import SimpleNamespace
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.dataloaders import (
+        create_dataloader,
+    )
+
+    args = SimpleNamespace(
+        model_type="painn", dataloader_type="painn_nbody", dataset_name="nbody_small",
+        target="pos_dt+vel", batch_size=3, sample_freq=10, sim_length=200,
+        num_atoms=5, num_neighbors=4, cache_data=False, use_cached=False,
+        model_path=None, data_seed=0,
+    )
+    dl = create_dataloader(args)
+    scene, y = dl.get_batch()
+    mask = dl.preprocess_batch(scene)
+    assert scene.pos.shape == (3, 5, 3) and y.shape == (3, 5, 6)
+    assert int(mask.sum()) == 3 * 5 * 4  # k=4 neighbours
+    assert dl.get_num_nodes() == 5
+    assert dl.postprocess_batch(y) is y
+
+
+def test_offline_dataloader_layer(tmp_path):
+    from types import SimpleNamespace
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.dataloaders import (
+        create_dataloader,
+    )
+
+    generate_offline_dataset(
+        str(tmp_path), n_isolated=5, num_train=4, num_valid=1, num_test=1,
+        length=200, length_test=200, sample_freq=50,
+    )
+    args = SimpleNamespace(
+        model_type="segnn", dataloader_type="segnn_nbody_offline",
+        dataset_name="5_0_0", data_directory=str(tmp_path),
+        target="pos_dt+vel", batch_size=2, frame_0=1, frame_T=3,
+    )
+    dl = create_dataloader(args)
+    scene, y = dl.get_batch()
+    mask = dl.preprocess_batch(scene)
+    assert scene.pos.shape == (2, 5, 3) and mask.shape == (2, 5, 5)
