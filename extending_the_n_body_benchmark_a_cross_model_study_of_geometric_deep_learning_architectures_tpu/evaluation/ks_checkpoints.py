@@ -219,9 +219,37 @@ def main(argv=None):  # pragma: no cover - thin CLI
     from ..data.gravity_otf import GravityDatasetOtf
 
     p = argparse.ArgumentParser(description="KS-rank a run's checkpoints")
-    p.add_argument("run_path")
+    p.add_argument("run_path", nargs="+")
     p.add_argument("--baseline", action="store_true", help="compute GT-GT floor")
+    p.add_argument(
+        "--multi-out",
+        default=None,
+        help="aggregate several runs into this summary csv "
+        "(plot_combined_pvalues_multi_model equivalent)",
+    )
+    p.add_argument(
+        "--hours", type=float, default=None,
+        help="also report max checkpoint within this wall-clock budget",
+    )
     args = p.parse_args(argv)
+
+    if len(args.run_path) > 1 or args.multi_out:
+        out_csv = args.multi_out or "combined_pvalues_summary.csv"
+        rows = combined_pvalues_report(args.run_path, out_csv)
+        for r in rows:
+            print(
+                f"{r['model']}: best ckpt {r['best_checkpoint']} "
+                f"p={r['best_combined_pvalue']:.3g} "
+                f"first p>=0.05: {r['first_checkpoint_p_ge_0.05']}"
+            )
+        if args.hours:
+            cuts = time_cutoff_report(args.run_path, hours=args.hours)
+            for rp, ck in cuts.items():
+                print(f"{rp}: max checkpoint in {args.hours}h = {ck}")
+        print(f"summary csv: {out_csv}")
+        return
+
+    args.run_path = args.run_path[0]
     ds = None
     if args.baseline:
         meta_files = [
