@@ -41,13 +41,13 @@ def main():
     wc2 = mk(8, (Hc,))
 
     @jax.jit
-    def xla_ref(hA, hB, geom, mask):
+    def xla_ref(hA, hB, geom, mask, w_geom, W2, b2, Wc1, bc1, wc2):
         m1 = jax.nn.silu(
             hA[:, :, None, :] + hB[:, None, :, :]
             + jnp.einsum("bijg,gh->bijh", geom[..., :5], w_geom)
         )
         m2 = jax.nn.silu(m1 @ W2 + b2)
-        mf = mask.astype(jnp.float32)[..., None]
+        mf = mask.astype(m2.dtype)[..., None]
         cnt = jnp.clip(mf.sum(2), 1.0, None)
         agg = (m2 * mf).sum(2) / cnt
         w = jax.nn.silu(m2 @ Wc1 + bc1) @ wc2[:, None]
@@ -65,8 +65,15 @@ def main():
         sync(out[0])
         return (time.time() - t0) / REPEAT * 1000
 
-    ms = bench(xla_ref, hA, hB, geom, mask)
-    print(f"xla dense:            {ms:7.2f} ms/layer-call", flush=True)
+    ws = (w_geom, W2, b2, Wc1, bc1, wc2)
+    ms = bench(xla_ref, hA, hB, geom, mask, *ws)
+    print(f"xla dense f32:        {ms:7.2f} ms/layer-call", flush=True)
+    bf = jnp.bfloat16
+    ms = bench(
+        xla_ref, hA.astype(bf), hB.astype(bf), geom.astype(bf), mask,
+        *(w.astype(bf) for w in ws),
+    )
+    print(f"xla dense bf16:       {ms:7.2f} ms/layer-call", flush=True)
     for dtype, dn in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
         for tile in tiles:
             try:
