@@ -235,6 +235,41 @@ class SeparableS2Act(nn.Module):
         return jnp.concatenate([scalars, x_sph[..., 1:, :]], axis=-2)
 
 
+class GateActivationSH(nn.Module):
+    """Gate activation (``activation.py:98-151``): per-(l,channel) sigmoid
+    gates (expanded over each l's m components of the *restricted* layout)
+    scale the l>0 coefficients; SiLU on the l=0 scalars."""
+
+    lmax: int = LMAX
+    mmax: int = 1
+
+    @nn.compact
+    def __call__(self, gating_scalars, x):  # gating [..., lmax*C]; x [..,K_r,C]
+        C = x.shape[-1]
+        g = jax.nn.sigmoid(gating_scalars)
+        g = g.reshape(g.shape[:-1] + (self.lmax, C))
+        expand = []
+        for l in range(1, self.lmax + 1):
+            expand += [l - 1] * min(2 * l + 1, 2 * self.mmax + 1)
+        g_rows = g[..., jnp.asarray(expand), :]
+        scal = jax.nn.silu(x[..., :1, :])
+        return jnp.concatenate([scal, x[..., 1:, :] * g_rows], axis=-2)
+
+
+class S2Act(nn.Module):
+    """Non-separable S2 activation (``activation.py:155-176``): SiLU on the
+    full grid signal, l=0 included."""
+
+    mmax: int = 1
+
+    @nn.compact
+    def __call__(self, x):
+        to_g, from_g = SE.s2_grid_mats(LMAX, self.mmax)
+        x_grid = jnp.einsum("gi,...ic->...gc", jnp.asarray(to_g, x.dtype), x)
+        x_grid = jax.nn.silu(x_grid)
+        return jnp.einsum("ig,...gc->...ic", jnp.asarray(from_g, x.dtype), x_grid)
+
+
 class SO2Attention(nn.Module):
     """``SO2EquivariantGraphAttention`` (dense). Output ``[B,N,9,C_out]``."""
 
@@ -246,6 +281,11 @@ class SO2Attention(nn.Module):
     output_channels: int
     edge_channels: int
     alpha_drop: float = 0.1
+    # option parity with transformer_block.py:64-75 (defaults = nbody run)
+    use_gate_act: bool = False
+    use_sep_s2_act: bool = True
+    use_m_share_rad: bool = False
+    use_attn_renorm: bool = True
 
     @nn.compact
     def __call__(self, x, x_edge, D, D_inv, adj, train: bool = False):
@@ -259,21 +299,45 @@ class SO2Attention(nn.Module):
         x_r = jnp.broadcast_to(x[:, :, None, :, :], (B, N, N, KFULL, C))
         msg = jnp.concatenate([x_s, x_r], axis=-1)  # [B,N,N,9,2C]
 
+        if self.use_m_share_rad:
+            # one radial weight per (l, channel) shared across that l's m
+            # components, applied pre-rotation (transformer_block.py:143-154,
+            # 269-277); SO2 conv then uses internal weights.
+            rad = RadialFunction(
+                [1024, self.edge_channels, self.edge_channels, 2 * C * (LMAX + 1)]
+            )(x_edge)
+            rad = rad.reshape(rad.shape[:-1] + (LMAX + 1, 2 * C))
+            rad = rad[..., jnp.asarray(SE.l_expand_index(LMAX)), :]  # [..,9,2C]
+            msg = msg * rad
+
         # rotate into edge-aligned frame and restrict to mmax
         msg = jnp.einsum("...kj,...jc->...kc", D, msg)  # [B,N,N,7,2C]
 
         # SO2 conv 1: radial-modulated, emits extra m0 features for the
-        # attention alpha and the S2-activation gate (so2_ops extra path)
-        extra_ch = self.num_heads * self.alpha_channels + self.hidden_channels
+        # attention alpha and/or the activation gate (so2_ops extra path;
+        # widths per transformer_block.py:127-141)
+        n_alpha = self.num_heads * self.alpha_channels
+        if self.use_gate_act:
+            extra_ch = n_alpha + LMAX * self.hidden_channels
+        elif self.use_sep_s2_act:
+            extra_ch = n_alpha + self.hidden_channels
+        else:
+            extra_ch = n_alpha
         msg, extra = SO2Conv(
             m_output_channels=self.hidden_channels,
             extra_m0_channels=extra_ch,
-            radial_channels=(1024, self.edge_channels, self.edge_channels),
+            radial_channels=None
+            if self.use_m_share_rad
+            else (1024, self.edge_channels, self.edge_channels),
         )(msg, x_edge)
 
-        alpha_feat = extra[..., : self.num_heads * self.alpha_channels]
-        gate = extra[..., self.num_heads * self.alpha_channels :]
-        msg = SeparableS2Act()(gate, msg)
+        alpha_feat = extra[..., :n_alpha]
+        if self.use_gate_act:
+            msg = GateActivationSH()(extra[..., n_alpha:], msg)
+        elif self.use_sep_s2_act:
+            msg = SeparableS2Act()(extra[..., n_alpha:], msg)
+        else:
+            msg = S2Act()(msg)
 
         msg = SO2Conv(m_output_channels=self.num_heads * self.value_channels)(msg)
 
@@ -281,7 +345,8 @@ class SO2Attention(nn.Module):
         a = alpha_feat.reshape(
             alpha_feat.shape[:-1] + (self.num_heads, self.alpha_channels)
         )
-        a = nn.LayerNorm(dtype=a.dtype)(a)
+        if self.use_attn_renorm:
+            a = nn.LayerNorm(dtype=a.dtype)(a)
         a = smooth_leaky_relu(a)
         alpha_dot = self.param(
             "alpha_dot",
@@ -308,17 +373,45 @@ class SO2Attention(nn.Module):
 
 
 class FeedForward(nn.Module):
-    """FFN with separable S2 activation (``transformer_block.py:373-530``)."""
+    """FFN with S2 / gate / grid-MLP activation
+    (``transformer_block.py:373-530``)."""
 
     sphere_channels: int
     hidden_channels: int
     output_channels: int
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
 
     @nn.compact
     def __call__(self, x):
-        gating = TorchLinear(self.hidden_channels)(x[..., 0, :])
-        h = SO3Linear(self.hidden_channels)(x)
-        h = SeparableS2Act(mmax=LMAX)(gating, h)
+        if self.use_grid_mlp:
+            # point-wise 3-layer MLP on the S2 grid (:424-448, 489-515)
+            gating = None
+            if self.use_sep_s2_act:
+                gating = jax.nn.silu(TorchLinear(self.hidden_channels)(x[..., 0, :]))
+            h = SO3Linear(self.hidden_channels)(x)
+            to_g, from_g = SE.s2_grid_mats(LMAX, LMAX)
+            hg = jnp.einsum("gi,...ic->...gc", jnp.asarray(to_g, h.dtype), h)
+            hg = TorchLinear(self.hidden_channels, use_bias=False)(hg)
+            hg = jax.nn.silu(hg)
+            hg = TorchLinear(self.hidden_channels, use_bias=False)(hg)
+            hg = jax.nn.silu(hg)
+            hg = TorchLinear(self.hidden_channels, use_bias=False)(hg)
+            h = jnp.einsum("ig,...gc->...ic", jnp.asarray(from_g, h.dtype), hg)
+            if self.use_sep_s2_act:
+                h = jnp.concatenate([gating[..., None, :], h[..., 1:, :]], axis=-2)
+        elif self.use_gate_act:
+            gating = TorchLinear(LMAX * self.hidden_channels)(x[..., 0, :])
+            h = SO3Linear(self.hidden_channels)(x)
+            h = GateActivationSH(mmax=LMAX)(gating, h)
+        elif self.use_sep_s2_act:
+            gating = TorchLinear(self.hidden_channels)(x[..., 0, :])
+            h = SO3Linear(self.hidden_channels)(x)
+            h = SeparableS2Act(mmax=LMAX)(gating, h)
+        else:
+            h = SO3Linear(self.hidden_channels)(x)
+            h = S2Act(mmax=LMAX)(h)
         return SO3Linear(self.output_channels)(h)
 
 
@@ -334,6 +427,11 @@ class _TransBlock(nn.Module):
     edge_channels: int
     alpha_drop: float = 0.1
     drop_path: float = 0.05
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
+    use_m_share_rad: bool = False
+    use_attn_renorm: bool = True
 
     @nn.compact
     def __call__(self, x, x_edge, D, D_inv, adj, train: bool = False):
@@ -348,6 +446,10 @@ class _TransBlock(nn.Module):
             output_channels=self.sphere_channels,
             edge_channels=self.edge_channels,
             alpha_drop=self.alpha_drop,
+            use_gate_act=self.use_gate_act,
+            use_sep_s2_act=self.use_sep_s2_act,
+            use_m_share_rad=self.use_m_share_rad,
+            use_attn_renorm=self.use_attn_renorm,
         )(h, x_edge, D, D_inv, adj, train=train)
         if self.drop_path > 0.0 and train:
             keep = 1.0 - self.drop_path
@@ -359,7 +461,12 @@ class _TransBlock(nn.Module):
         res = x
         h = RMSNormSH(self.sphere_channels)(x)
         h = FeedForward(
-            self.sphere_channels, self.ffn_hidden_channels, self.sphere_channels
+            self.sphere_channels,
+            self.ffn_hidden_channels,
+            self.sphere_channels,
+            use_gate_act=self.use_gate_act,
+            use_grid_mlp=self.use_grid_mlp,
+            use_sep_s2_act=self.use_sep_s2_act,
         )(h)
         if self.drop_path > 0.0 and train:
             keep = 1.0 - self.drop_path
@@ -388,6 +495,12 @@ class EquiformerV2(nn.Module):
     drop_path_rate: float = 0.05
     lmax: int = 2
     mmax: int = 1
+    # architectural alternates (equiformer_v2_nbody.py:129-138 defaults)
+    use_gate_act: bool = False
+    use_grid_mlp: bool = False
+    use_sep_s2_act: bool = True
+    use_m_share_rad: bool = False
+    use_attn_renorm: bool = True
     # The reference lifts velocities with a full nn.Linear(3, 3C) + bias
     # (equiformer_v2_nbody.py:209,500-523) which is NOT rotation equivariant.
     # False reproduces that; True uses a per-channel scalar gate (equivariant)
@@ -474,6 +587,11 @@ class EquiformerV2(nn.Module):
             edge_channels=self.edge_channels,
             alpha_drop=self.alpha_drop,
             drop_path=self.drop_path_rate,
+            use_gate_act=self.use_gate_act,
+            use_grid_mlp=self.use_grid_mlp,
+            use_sep_s2_act=self.use_sep_s2_act,
+            use_m_share_rad=self.use_m_share_rad,
+            use_attn_renorm=self.use_attn_renorm,
         )
         x, _ = block(x, x_edge, D, D_inv, adj, train)
 
@@ -490,6 +608,10 @@ class EquiformerV2(nn.Module):
             output_channels=2,
             edge_channels=self.edge_channels,
             alpha_drop=0.0,
+            use_gate_act=self.use_gate_act,
+            use_sep_s2_act=self.use_sep_s2_act,
+            use_m_share_rad=self.use_m_share_rad,
+            use_attn_renorm=self.use_attn_renorm,
         )(x, x_edge, D, D_inv, adj, train=train)
 
         # l=1 coefficients are (y, z, x) -> physical (x, y, z)

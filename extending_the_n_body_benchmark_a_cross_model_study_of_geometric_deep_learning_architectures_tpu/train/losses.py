@@ -112,6 +112,38 @@ def build_loss_fn(args) -> Callable:
     return loss_fn
 
 
+def dynamic_weighted_loss_init() -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """Initial EMA state (running pos/vel losses start at 1.0)."""
+    return jnp.asarray(1.0), jnp.asarray(1.0)
+
+
+def dynamic_weighted_loss(
+    pred: jnp.ndarray,
+    y: jnp.ndarray,
+    state: Tuple[jnp.ndarray, jnp.ndarray],
+    alpha: float = 0.99,
+):
+    """EMA-balanced pos/vel MSE
+    (``models/equiformer_v2/architecture/dynamic_weighted_loss.py:5-31`` —
+    defined but never wired up in the reference; provided here as a pure
+    function with explicit EMA state for jit-compatible threading).
+
+    Returns ``(loss, new_state)``; each target is weighted by the *other*
+    target's share of the running loss, so the slower-converging term gets
+    up-weighted.
+    """
+    import jax
+
+    run_pos, run_vel = state
+    loss_pos = mse(pred[..., :3], y[..., :3])
+    loss_vel = mse(pred[..., 3:6], y[..., 3:6])
+    new_pos = alpha * run_pos + (1 - alpha) * jax.lax.stop_gradient(loss_pos)
+    new_vel = alpha * run_vel + (1 - alpha) * jax.lax.stop_gradient(loss_vel)
+    total_run = new_pos + new_vel
+    loss = (new_vel / total_run) * loss_pos + (new_pos / total_run) * loss_vel
+    return loss, (new_pos, new_vel)
+
+
 def percentage_errors(pred, y, targets: List[str]) -> Dict[str, jnp.ndarray]:
     """Per-target relative L2 error in percent (``trainer.py:480-490``)."""
     out = {}

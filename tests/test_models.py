@@ -163,3 +163,41 @@ def test_model_registry_create():
     assert m.num_layers == 3
     with pytest.raises(ValueError):
         create_model("not_a_model")
+
+
+EQV2_OPTION_SETS = [
+    dict(use_gate_act=True),
+    dict(use_grid_mlp=True),
+    dict(use_grid_mlp=True, use_sep_s2_act=False),
+    dict(use_sep_s2_act=False),
+    dict(use_m_share_rad=True),
+    dict(use_attn_renorm=False),
+]
+
+
+@pytest.mark.parametrize(
+    "opts", EQV2_OPTION_SETS, ids=lambda o: "+".join(sorted(k for k in o))
+)
+def test_equiformer_option_variants(opts):
+    """The reference's architectural alternates (use_gate_act / use_grid_mlp /
+    use_sep_s2_act / use_m_share_rad / use_attn_renorm,
+    equiformer_v2_nbody.py:129-138) all produce finite outputs AND preserve
+    rotation equivariance of the SO(3) machinery (with the equivariant
+    velocity lift)."""
+    scene = make_scene(jax.random.PRNGKey(30))
+    mask = G.knn_mask(scene.pos, 4)
+    model = create_model(
+        "equiformer_v2", **{**TINY["equiformer_v2"], "equivariant_embedding": True, **opts}
+    )
+    params = model.init(jax.random.PRNGKey(31), scene, mask)
+    out = model.apply(params, scene, mask)
+    assert out.shape == (2, 5, 6)
+    assert bool(jnp.isfinite(out).all())
+
+    R = random_rotation(jax.random.PRNGKey(32)).astype(scene.pos.dtype)
+    scene_r = Scene(
+        pos=scene.pos @ R.T, vel=scene.vel @ R.T, force=scene.force @ R.T, mass=scene.mass
+    )
+    out_r = model.apply(params, scene_r, G.knn_mask(scene_r.pos, 4))
+    want = jnp.concatenate([out[..., :3] @ R.T, out[..., 3:] @ R.T], axis=-1)
+    np.testing.assert_allclose(np.asarray(out_r), np.asarray(want), atol=2e-4)

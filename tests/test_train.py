@@ -137,3 +137,30 @@ def test_checkpoint_roundtrip(tmp_path):
     flat_a = jax.tree_util.tree_leaves(opt_state)
     flat_b = jax.tree_util.tree_leaves(loaded["opt_state"])
     assert len(flat_a) == len(flat_b)
+
+
+def test_dynamic_weighted_loss():
+    """EMA-balanced pos/vel weighting (dynamic_weighted_loss.py:5-31): the
+    target with the *smaller* running loss gets the larger weight, weights
+    sum to 1, EMA state updates with alpha smoothing."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.losses import (
+        dynamic_weighted_loss,
+        dynamic_weighted_loss_init,
+    )
+
+    pred = jnp.zeros((2, 5, 6))
+    y = jnp.concatenate(
+        [jnp.full((2, 5, 3), 2.0), jnp.full((2, 5, 3), 1.0)], axis=-1
+    )  # pos mse = 4, vel mse = 1
+    state = dynamic_weighted_loss_init()
+    loss, (rp, rv) = dynamic_weighted_loss(pred, y, state, alpha=0.5)
+    assert np.isclose(float(rp), 0.5 * 1.0 + 0.5 * 4.0)
+    assert np.isclose(float(rv), 0.5 * 1.0 + 0.5 * 1.0)
+    # weight_pos = rv/(rp+rv), weight_vel = rp/(rp+rv)
+    want = (1.0 / 3.5) * 4.0 + (2.5 / 3.5) * 1.0
+    assert np.isclose(float(loss), want)
+    # iterating drives the EMAs toward the true losses
+    for _ in range(50):
+        loss, (rp, rv) = dynamic_weighted_loss(pred, y, (rp, rv), alpha=0.5)
+    assert np.isclose(float(rp), 4.0, atol=1e-3)
+    assert np.isclose(float(rv), 1.0, atol=1e-3)
