@@ -165,3 +165,11 @@ def write_all_extended(
     write_difference_distributions(save_dir, loc, vel, max_items=max_items)
     write_momentum_statistics(save_dir, vel)
     write_energy_statistics(save_dir, loc, vel, G, softening, plot=plot)
+    if plot:
+        from ..viz.macro_plots import plot_extended_multiplots
+
+        energy_arrays = {
+            sfx: compute_per_sim_energies(loc[b], vel[b], G, softening)
+            for b, sfx in enumerate(TITLE_SUFFIXES)
+        }
+        plot_extended_multiplots(save_dir, loc, vel, energy_arrays)

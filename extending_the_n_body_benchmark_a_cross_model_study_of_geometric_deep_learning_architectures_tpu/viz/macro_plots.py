@@ -91,6 +91,86 @@ def plot_trajectories_2d(
     plt.close(fig)
 
 
+def _hist_pair(axs, g, p, xlabel, bins=60):
+    g, p = np.asarray(g, np.float64).ravel(), np.asarray(p, np.float64).ravel()
+    lo, hi = min(g.min(), p.min()), max(g.max(), p.max())
+    if lo == hi:
+        hi = lo + 1.0
+    edges = np.linspace(lo, hi, bins + 1)
+    for ax, data, title in zip(axs, (g, p), ("Ground Truth", "Predicted")):
+        ax.hist(data, bins=edges, alpha=0.7, edgecolor="black")
+        ax.set_xlabel(xlabel)
+        ax.set_ylabel("Frequency")
+        ax.set_title(f"{xlabel} — {title}")
+
+
+def plot_extended_multiplots(
+    save_dir: str,
+    loc: np.ndarray,
+    vel: np.ndarray,
+    energies: Dict[str, np.ndarray] | None = None,
+    max_sims: int = 16,
+) -> None:
+    """The non-macro multiplot PNGs of ``plot_macros``
+    (``helper_scripts/plot_macros.py:39-50``): feature / difference /
+    momentum distributions, per-sim energy curves, energy distributions
+    across sims.  ``loc``/``vel``: ``[2, S, T, N, 3]`` (gt, pred);
+    ``energies``: ``{suffix: [S, T, 3]}`` (kinetic, potential, total)."""
+    os.makedirs(save_dir, exist_ok=True)
+
+    # feature distributions (visualization_utils.py:525-603)
+    fig, axs = plt.subplots(2, 2, figsize=(14, 10))
+    _hist_pair(axs[:, 0], loc[0], loc[1], "Position")
+    _hist_pair(axs[:, 1], vel[0], vel[1], "Velocity")
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "feature_distributions.png"))
+    plt.close(fig)
+
+    # frame-to-frame difference distributions (:606-681)
+    fig, axs = plt.subplots(2, 2, figsize=(14, 10))
+    _hist_pair(axs[:, 0], np.diff(loc[0], axis=1), np.diff(loc[1], axis=1),
+               "Position Difference")
+    _hist_pair(axs[:, 1], np.diff(vel[0], axis=1), np.diff(vel[1], axis=1),
+               "Velocity Difference")
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "difference_distributions.png"))
+    plt.close(fig)
+
+    # momentum statistics (:944-998): per-sim time-mean |Σv|
+    fig, axs = plt.subplots(2, 1, figsize=(10, 10), sharex=True)
+    mom = [np.linalg.norm(vel[b].sum(axis=2), axis=-1).mean(axis=1) for b in (0, 1)]
+    _hist_pair(axs, mom[0], mom[1], "Mean Total Momentum", bins=30)
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "momentum_statistics_multiplot.png"))
+    plt.close(fig)
+
+    if energies is not None:
+        suffixes = list(energies)
+        # per-sim total-energy curves (plot_energies_of_all_sims_multiplot)
+        fig, axs = plt.subplots(len(suffixes), 1, figsize=(12, 10), sharex=True)
+        for ax, sfx in zip(np.atleast_1d(axs), suffixes):
+            e = np.asarray(energies[sfx])
+            for s in range(min(max_sims, e.shape[0])):
+                ax.plot(e[s, :, 2], alpha=0.5, lw=0.8)
+            ax.set_title(f"Total energy per sim — {sfx}")
+            ax.set_ylabel("Energy")
+        ax.set_xlabel("step")
+        fig.tight_layout()
+        fig.savefig(os.path.join(save_dir, "energies_of_all_sims.png"))
+        plt.close(fig)
+
+        # energy distributions across sims (time-mean KE/PE/TE)
+        fig, axs = plt.subplots(2, 3, figsize=(16, 9))
+        for i, label in enumerate(["Kinetic", "Potential", "Total"]):
+            means = [np.asarray(energies[s])[:, :, i].mean(axis=1) for s in suffixes]
+            _hist_pair(axs[:, i], means[0], means[-1], f"{label} Energy", bins=30)
+        fig.tight_layout()
+        fig.savefig(
+            os.path.join(save_dir, "energy_distributions_across_all_sims.png")
+        )
+        plt.close(fig)
+
+
 def plot_pvalue_series(
     save_dir: str,
     steps,
