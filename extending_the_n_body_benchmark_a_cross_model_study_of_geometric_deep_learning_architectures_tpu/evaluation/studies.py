@@ -91,7 +91,32 @@ def baseline_metamacros(
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "baseline_metamacros.json"), "w") as f:
             json.dump(out, f, indent=2)
+        _plot_metamacros(save_dir, stats, combined_floor)
     return out
+
+
+def _plot_metamacros(save_dir: str, stats, combined_floor) -> None:
+    """KL/JS box plots per macro + combined-p noise-floor histogram
+    (``helper_scripts/plot_metamacros.py:17-60``)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    keys = list(stats)
+    fig, axs = plt.subplots(3, 1, figsize=(12, 14))
+    for ax, metric, title in zip(
+        axs[:2], ("kl", "js"), ("KL divergence", "JS divergence")
+    ):
+        ax.boxplot([stats[k][metric] for k in keys], tick_labels=keys)
+        ax.set_title(f"GT-vs-GT {title} per macro (noise floor)")
+        ax.tick_params(axis="x", rotation=30)
+    axs[2].hist(np.clip(combined_floor, 1e-300, None), bins=20)
+    axs[2].set_xlabel("Fisher-combined p (GT vs GT)")
+    axs[2].set_title("Combined p-value noise floor")
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "baseline_metamacros.png"))
+    plt.close(fig)
 
 
 def compare_dt(
@@ -136,4 +161,74 @@ def compare_dt(
         os.makedirs(save_dir, exist_ok=True)
         with open(os.path.join(save_dir, "compare_dt.json"), "w") as f:
             json.dump(out, f, indent=2)
+        _plot_compare_dt(save_dir, out)
     return out
+
+
+def _plot_compare_dt(save_dir: str, out: Dict) -> None:
+    """Combined and per-macro KS p vs dt (``compare_dt.py`` figures)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    dts = sorted(out["results"], key=float)
+    fig, ax = plt.subplots(figsize=(10, 6))
+    ax.plot(
+        [float(d) for d in dts],
+        [max(out["results"][d]["combined"], 1e-300) for d in dts],
+        "o-", label="combined",
+    )
+    for k in MACRO_KEYS:
+        ax.plot(
+            [float(d) for d in dts],
+            [max(out["results"][d]["per_macro_ks_p"][k], 1e-300) for d in dts],
+            ".-", alpha=0.5, label=k,
+        )
+    ax.axvline(float(out["base_dt"]), color="gray", ls=":", label="base dt")
+    ax.set_xscale("log")
+    ax.set_yscale("log")
+    ax.set_xlabel("dt")
+    ax.set_ylabel("KS p vs base dt")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    fig.savefig(os.path.join(save_dir, "compare_dt.png"))
+    plt.close(fig)
+
+
+def main(argv=None):  # pragma: no cover - thin CLI
+    import argparse
+
+    p = argparse.ArgumentParser(
+        description="GT-vs-GT metamacro noise floor / dt-sensitivity studies"
+    )
+    p.add_argument("study", choices=["metamacros", "compare_dt"])
+    p.add_argument("--out", default="figures/studies")
+    p.add_argument("--num-batches", type=int, default=10)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--num-atoms", type=int, default=5)
+    p.add_argument("--sim-length", type=int, default=5000)
+    p.add_argument("--dt-values", type=float, nargs="+", default=None)
+    args = p.parse_args(argv)
+
+    ds = GravityDatasetOtf(
+        batch_size=args.batch_size,
+        num_nodes=args.num_atoms,
+        sim_length=args.sim_length,
+        cache_data=False,
+    )
+    if args.study == "metamacros":
+        out = baseline_metamacros(ds, num_batches=args.num_batches, save_dir=args.out)
+        for k, v in out["per_macro"].items():
+            print(f"{k}: kl={v['kl_mean']:.3g} js={v['js_mean']:.3g} "
+                  f"ks_p_median={v['ks_p_median']:.3g}")
+    else:
+        kw = {"dt_values": tuple(args.dt_values)} if args.dt_values else {}
+        out = compare_dt(ds, save_dir=args.out, **kw)
+        for d, r in out["results"].items():
+            print(f"dt={d}: combined p = {r['combined']:.3g}")
+    print(f"artifacts in {args.out}")
+
+
+if __name__ == "__main__":  # pragma: no cover
+    main()
