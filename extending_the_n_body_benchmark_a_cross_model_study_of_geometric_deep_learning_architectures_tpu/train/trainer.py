@@ -246,6 +246,7 @@ class Trainer:
             self.step_count,
             self.best_metrics,
             filename=filename,
+            backend=getattr(self.args, "checkpoint_backend", "pickle"),
         )
         if final:
             print(
@@ -277,7 +278,9 @@ class Trainer:
 
     def load_model_from_checkpoint(self, path: str):
         self._model_restoring_links(path)
-        ckpt = load_checkpoint(path)
+        ckpt = load_checkpoint(
+            path, template={"params": self.params, "opt_state": self.opt_state}
+        )
         # Restore into the freshly-initialised pytree structures.
         self.params = jax.tree_util.tree_map(
             lambda t, s: jnp.asarray(s, t.dtype), self.params, ckpt["params"]
@@ -356,6 +359,7 @@ class Trainer:
             self.save_model(final=True)
             self.logger.alert("Training crashed", f"{self.args.model_type}: {e}")
             raise
+        self.save_model(final=True)
         print(
             f"Training for {self.step_count} steps took {time.time() - start:.2f} seconds"
         )

@@ -90,6 +90,7 @@ class TrainerConfig(BaseModel):
     self_feed_limit_steps: Optional[int] = None
     save_trajectory_npys: bool = True
     plot_macros: bool = True
+    checkpoint_backend: str = "pickle"  # pickle | orbax (tensorstore dirs)
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
 
 

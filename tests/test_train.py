@@ -164,3 +164,27 @@ def test_dynamic_weighted_loss():
         loss, (rp, rv) = dynamic_weighted_loss(pred, y, (rp, rv), alpha=0.5)
     assert np.isclose(float(rp), 4.0, atol=1e-3)
     assert np.isclose(float(rv), 1.0, atol=1e-3)
+
+
+def test_checkpoint_roundtrip_orbax(tmp_path):
+    """Orbax backend: directory format, restore via live-template rebuild."""
+    model, params, scene, y, mask = _tiny_training_setup()
+    tx = create_optimizer(0.5, model_size=32)
+    opt_state = tx.init(params)
+    path = ckpt.save_checkpoint(
+        str(tmp_path), params, opt_state, 11, {"best": 2.0}, backend="orbax"
+    )
+    assert path.endswith("model.orbax") and __import__("os").path.isdir(path)
+    loaded = ckpt.load_checkpoint(
+        path, template={"params": params, "opt_state": opt_state}
+    )
+    assert loaded["step_count"] == 11
+    assert loaded["best_metrics"] == {"best": 2.0}
+    for a, b in zip(
+        jax.tree_util.tree_leaves(params), jax.tree_util.tree_leaves(loaded["params"])
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    # optax namedtuple structure is rebuilt exactly
+    assert jax.tree_util.tree_structure(loaded["opt_state"]) == (
+        jax.tree_util.tree_structure(opt_state)
+    )
