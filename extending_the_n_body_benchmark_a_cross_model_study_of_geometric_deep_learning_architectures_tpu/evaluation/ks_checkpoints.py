@@ -150,18 +150,24 @@ def evaluate_run_checkpoints(
     return summary
 
 
-def combined_pvalues_report(run_paths: List[str], out_csv: str) -> List[Dict]:
+def combined_pvalues_report(
+    run_paths: List[str], out_csv: str, plot: bool = True
+) -> List[Dict]:
     """Aggregate best-checkpoint stats across runs
-    (``ks_test/plot_combined_pvalues_multi_model.py`` summary csv)."""
+    (``ks_test/plot_combined_pvalues_multi_model.py`` summary csv), plus the
+    multi-model combined-p-vs-checkpoint overlay figure
+    (``figures/combined_pvalues_*_multi.png``)."""
     import csv
 
     rows = []
+    series = {}
     for rp in run_paths:
         try:
             s = evaluate_run_checkpoints(rp, plot=False)
         except FileNotFoundError:
             continue
         model = os.path.basename(os.path.dirname(os.path.normpath(rp)))
+        series[f"{model} ({os.path.basename(os.path.normpath(rp))})"] = s["results"]
         rows.append(
             {
                 "model": model,
@@ -171,6 +177,8 @@ def combined_pvalues_report(run_paths: List[str], out_csv: str) -> List[Dict]:
                 "first_checkpoint_p_ge_0.05": s["first_checkpoint_p_ge_0.05"],
             }
         )
+    if plot and series:
+        _plot_multi_model(series, os.path.splitext(out_csv)[0] + "_multi.png")
     os.makedirs(os.path.dirname(os.path.abspath(out_csv)), exist_ok=True)
     with open(out_csv, "w", newline="") as f:
         w = csv.DictWriter(
@@ -186,6 +194,31 @@ def combined_pvalues_report(run_paths: List[str], out_csv: str) -> List[Dict]:
         w.writeheader()
         w.writerows(rows)
     return rows
+
+
+def _plot_multi_model(series: Dict[str, List[Dict]], out_png: str) -> None:
+    """Overlayed combined-p curves, one per run, log y
+    (``plot_combined_pvalues_multi_model.py`` figure)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+
+    fig, ax = plt.subplots(figsize=(11, 6))
+    for label, rows in series.items():
+        xs = [r["checkpoint"] for r in rows]
+        ys = [max(r["combined_pvalue"], 1e-300) for r in rows]
+        ax.plot(xs, ys, "o-", ms=3, label=label)
+    ax.axhline(0.05, color="red", ls="--", lw=0.8, label="p = 0.05")
+    ax.set_yscale("log")
+    ax.set_xlabel("checkpoint")
+    ax.set_ylabel("Fisher-combined p")
+    ax.legend(fontsize=7)
+    fig.tight_layout()
+    d = os.path.dirname(os.path.abspath(out_png))
+    os.makedirs(d, exist_ok=True)
+    fig.savefig(out_png)
+    plt.close(fig)
 
 
 def time_cutoff_report(

@@ -238,6 +238,15 @@ class Trainer:
         with open(os.path.join(ds_dir, "metadata.json"), "w") as f:
             json.dump(self.dataset.get_serializable_attributes(), f, indent=4)
 
+    @staticmethod
+    def _stop_trace_safe(profile_epochs_active) -> None:
+        """Close a still-open jax.profiler trace on any train() exit path."""
+        if profile_epochs_active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
+
     def save_model(self, filename: str = "model.ckpt", final: bool = False):
         path = save_checkpoint(
             self.save_dir_path,
@@ -332,10 +341,22 @@ class Trainer:
     def train(self):
         start = time.time()
         train_steps = self.args.train_steps
+        profile_epochs = getattr(self.args, "profile_epochs", None)
+        if profile_epochs:
+            # first-class XLA tracing (SURVEY.md §5.1 TPU equivalent): open
+            # <run>/profile with TensorBoard/XProf or Perfetto
+            import jax as _jax
+
+            _jax.profiler.start_trace(os.path.join(self.save_dir_path, "profile"))
         try:
             while train_steps is None or self.step_count < train_steps:
                 self.train_one_epoch()
                 self.step_count += 1
+                if profile_epochs and self.step_count == profile_epochs:
+                    import jax as _jax
+
+                    _jax.profiler.stop_trace()
+                    profile_epochs = None
                 if self.step_count % self.args.save_model_every == 0:
                     self.save_model()
                 if self.step_count % self.args.test_macros_every == 0:
@@ -354,11 +375,14 @@ class Trainer:
                     self.validate_one_epoch()
         except KeyboardInterrupt:
             print("Training interrupted. Saving model...")
+            self._stop_trace_safe(profile_epochs)
             self.save_model(final=True)
         except Exception as e:
+            self._stop_trace_safe(profile_epochs)
             self.save_model(final=True)
             self.logger.alert("Training crashed", f"{self.args.model_type}: {e}")
             raise
+        self._stop_trace_safe(profile_epochs)
         self.save_model(final=True)
         print(
             f"Training for {self.step_count} steps took {time.time() - start:.2f} seconds"

@@ -91,6 +91,7 @@ class TrainerConfig(BaseModel):
     save_trajectory_npys: bool = True
     plot_macros: bool = True
     checkpoint_backend: str = "pickle"  # pickle | orbax (tensorstore dirs)
+    profile_epochs: Optional[int] = None  # jax.profiler trace of first N epochs
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
 
 
