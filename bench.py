@@ -38,11 +38,25 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
 
 GH200_BASELINE_STEPS_PER_SEC = 30.0  # see module docstring
 
+# GH200 train-steps/s per model class (incl. eval overhead), derived from
+# the 8h-cutoff table in BASELINE.md / SURVEY.md §6
+GH200_TRAIN_STEPS_PER_SEC = {
+    "ponita": 30.0,
+    "graph_transformer": 34.0,
+    "segnn": 6.5,
+    "equiformer_v2": 6.0,
+    "cgenn": 0.5,
+    "egnn_mc": 34.0,  # not in the 8h table; GT-class speed is the stand-in
+    "painn": 34.0,
+}
+
 import os
 
-N_BODIES = int(os.environ.get("BENCH_N_BODIES", 100))
+MODE = os.environ.get("BENCH_MODE", "rollout")  # rollout | train
+N_BODIES = int(os.environ.get("BENCH_N_BODIES", 100 if MODE == "rollout" else 5))
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 ROLLOUT_STEPS = int(os.environ.get("BENCH_STEPS", 500))
+TRAIN_STEPS = int(os.environ.get("BENCH_TRAIN_STEPS", 100))
 MODEL = os.environ.get("BENCH_MODEL", "egnn_mc")  # reference default size
 
 
@@ -97,6 +111,82 @@ def measure(use_pallas: bool, dtype, params, tile=None, label=None) -> float:
     return sps
 
 
+def measure_train(dtype, label) -> float:
+    """Jitted training steps/s at the reference workload (N=5, batch 64,
+    ``config.yaml`` model defaults; SURVEY.md §6 throughput table)."""
+    import optax
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core import (
+        graph as G,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.losses import (
+        build_loss_fn,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.optim import (
+        create_optimizer,
+    )
+    from types import SimpleNamespace
+
+    model = create_model(MODEL)
+    scene = make_scene(dtype)
+    y = jnp.concatenate([scene.pos * 0.01, scene.vel], axis=-1)
+    mask_fn = jax.jit(lambda sc: G.knn_mask(sc.pos, N_BODIES - 1))
+    mask = mask_fn(scene)
+    params = jax.jit(model.init)(jax.random.PRNGKey(2), scene, mask)
+    params = jax.jit(
+        lambda p: jax.tree_util.tree_map(lambda x: x.astype(dtype), p)
+    )(params)
+    tx = create_optimizer(0.5, model_size=model.get_model_size())
+    opt_state = tx.init(params)
+    loss_fn = build_loss_fn(SimpleNamespace(target="pos_dt+vel"))
+
+    @jax.jit
+    def step(params, opt_state, scene, y, mask):
+        def l(p):
+            total, _ = loss_fn(model.apply(p, scene, mask), scene, y)
+            return total
+
+        loss, grads = jax.value_and_grad(l)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        return optax.apply_updates(params, updates), opt_state, loss
+
+    t0 = time.time()
+    params, opt_state, loss = step(params, opt_state, scene, y, mask)
+    _ = float(loss)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(TRAIN_STEPS):
+        params, opt_state, loss = step(params, opt_state, scene, y, mask)
+    _ = float(loss)  # barrier: fetch a value (axon-safe sync)
+    dt = time.time() - t0
+    sps = TRAIN_STEPS / dt
+    log(f"{label}: compile+1st {compile_s:.1f}s, steady {dt:.3f}s -> {sps:.1f} steps/s")
+    return sps
+
+
+def main_train() -> None:
+    log(f"devices: {jax.devices()} | train bench: {MODEL} N={N_BODIES} B={BATCH}")
+    results = {"train-float32": measure_train(jnp.float32, "train-float32")}
+    if jax.default_backend() == "tpu":
+        try:
+            results["train-bfloat16"] = measure_train(jnp.bfloat16, "train-bfloat16")
+        except Exception as e:
+            log(f"train-bfloat16 failed: {e!r}")
+    best_name, best = max(results.items(), key=lambda kv: kv[1])
+    log(f"best config: {best_name}")
+    baseline = GH200_TRAIN_STEPS_PER_SEC.get(MODEL, GH200_BASELINE_STEPS_PER_SEC)
+    print(
+        json.dumps(
+            {
+                "metric": f"train_steps_per_sec_n{N_BODIES}_{MODEL}",
+                "value": round(best, 2),
+                "unit": "steps/s",
+                "vs_baseline": round(best / baseline, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     log(f"devices: {jax.devices()}")
     on_tpu = jax.default_backend() == "tpu"
@@ -145,4 +235,4 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main()
+    main_train() if MODE == "train" else main()
