@@ -128,7 +128,7 @@ class Trainer:
         if args.model_path:
             self.load_model_from_checkpoint(args.model_path)
 
-        self._train_step = self._build_train_step()
+        self._train_step, self._metric_names = self._build_train_step()
 
     # ----------------------------------------------------------------- build
 
@@ -148,11 +148,23 @@ class Trainer:
             scene_sh = Scene(pos=ds, vel=ds, force=ds, mass=ds)
             jit_kwargs["in_shardings"] = (repl, repl, scene_sh, ds, repl)
 
+        dtype = self.dtype
+        metric_names: list = []  # filled at trace time (stable order)
+
         @functools.partial(jax.jit, **jit_kwargs)
         def step(params, opt_state, scene: Scene, y, rng):
+            # rng split and input casting live INSIDE the jit: the whole
+            # train step is one device dispatch (critical over remote
+            # backends where each eager op costs a round-trip)
+            rng, dropout_rng = jax.random.split(rng)
+            scene = scene.astype(dtype)
+            y = y.astype(dtype)
+
             def lf(p):
                 mask = G.knn_mask(scene.pos, k)
-                pred = model.apply(p, scene, mask, train=True, rngs={"dropout": rng})
+                pred = model.apply(
+                    p, scene, mask, train=True, rngs={"dropout": dropout_rng}
+                )
                 total, terms = loss_fn(pred, scene, y)
                 return total, (pred, terms)
 
@@ -174,9 +186,19 @@ class Trainer:
                 )
             new_params = optax.apply_updates(params, updates)
             perc = percentage_errors(pred, y, targets)
-            return new_params, new_opt, loss, terms, perc
+            # one packed f32 vector: [loss, *sorted(terms), *sorted(perc)] —
+            # buffered per step, fetched ONCE per epoch (no per-step blocking
+            # host round-trips)
+            vec = jnp.stack(
+                [loss.astype(jnp.float32)]
+                + [terms[n].astype(jnp.float32) for n in sorted(terms)]
+                + [perc[n].astype(jnp.float32) for n in sorted(perc)]
+            )
+            if not metric_names:
+                metric_names.extend(["loss"] + sorted(terms) + sorted(perc))
+            return new_params, new_opt, rng, vec
 
-        return step
+        return step, metric_names
 
     def _build_layer_stats_fn(self):
         """Per-layer activation statistics via flax capture_intermediates —
@@ -309,27 +331,28 @@ class Trainer:
 
     def train_one_epoch(self) -> Dict[str, float]:
         n_steps = self.args.steps_per_epoch
-        means: Dict[str, RunningMean] = {}
         t_epoch = time.time()
         examples = 0
         stats_every = getattr(self.args, "debug_layer_stats_every", None)
+        vecs = []  # per-step packed metric vectors (device; fetched once)
         for step_i in range(n_steps):
             scene, y = self.dataset.get_batch()
-            scene = scene.astype(self.dtype)
-            y = y.astype(self.dtype)
             if stats_every and step_i % int(stats_every) == 0:
-                self.log_layer_stats(scene)
-            self._rng, rng = jax.random.split(self._rng)
-            self.params, self.opt_state, loss, terms, perc = self._train_step(
-                self.params, self.opt_state, scene, y, rng
+                self.log_layer_stats(scene.astype(self.dtype))
+            self.params, self.opt_state, self._rng, vec = self._train_step(
+                self.params, self.opt_state, scene, y, self._rng
             )
             examples += scene.pos.shape[0]
-            # Device scalars -> host floats once per step (values are tiny).
-            means.setdefault("loss", RunningMean()).update(loss)
-            for name, v in {**terms, **perc}.items():
-                means.setdefault(name, RunningMean()).update(v)
+            vecs.append(vec)
+        # ONE blocking device->host fetch per epoch (per-step float() fetches
+        # cost a tunnel round-trip each: ~5 steps/s instead of ~200)
+        arr = np.asarray(jnp.stack(vecs))
         dt = time.time() - t_epoch
-        log = {f"train/{k}": m.compute() for k, m in means.items()}
+        epoch_means = np.nanmean(arr, axis=0)
+        log = {
+            f"train/{k}": float(v)
+            for k, v in zip(self._metric_names, epoch_means)
+        }
         log["train/step"] = self.step_count
         log["train/steps_per_sec"] = n_steps / dt
         log["train/examples_per_sec"] = examples / dt
