@@ -93,7 +93,10 @@ class GravityDatasetOtf:
         seed = seed if seed is not None else pyrandom.SystemRandom().randint(0, 2**31 - 1)
         self._key = jax.random.PRNGKey(seed)
         self._rng = pyrandom.Random(seed)
-        self._gather_fn = None  # lazily-jitted (traj, frame) -> (Scene, y)
+        import collections
+
+        self._gather_fns = {}  # k -> jitted (traj, frames) -> k pairs
+        self._ready = collections.deque()  # prefetched (Scene, y) pairs
 
         self.params = GravityParams(
             interaction_strength=interaction_strength,
@@ -206,20 +209,36 @@ class GravityDatasetOtf:
             return jnp.concatenate([loc[:, frame_t] - com, vel[:, frame_t]], axis=-1)
         raise ValueError(f"Wrong target {self.target}")
 
+    # gathered frame-batches per device dispatch (host keeps a small FIFO of
+    # already-gathered (Scene, y) pairs; device sees one vectorised gather)
+    PREFETCH = 16
+
     def get_batch(self) -> Tuple[Scene, jnp.ndarray]:
         """Next training batch: ``(Scene[B, N], y[B, N, 3*k])`` on device.
 
-        The frame gather + target assembly runs as ONE jitted call with a
-        *traced* frame index — a single device dispatch per batch.  The
-        eager per-op path cost ~200 ms/step over a remote (axon) backend
-        (~10 round-trips); this is the difference between ~5 and ~200
-        train steps/s on the tunnel-attached TPU.
+        Frame gather + target assembly runs as ONE jitted, vmapped call over
+        ``PREFETCH`` traced frame indices — a single device dispatch feeds
+        the next 16 steps.  The eager per-op path cost ~200 ms/step over a
+        remote (axon) backend (~10 round-trips each); per-step dispatches
+        still cost one round-trip.  Frame-pair sampling semantics are
+        unchanged: indices are drawn without replacement from the unused
+        pool exactly as before (``dataset_gravity_otf.py:189-217``).
         """
+        if not self._ready:
+            self._prefetch()
+        return self._ready.popleft()
+
+    def _prefetch(self) -> None:
+        import jax
+
         if not self._unused:
             self._load_next_batch()
-        frame_0 = self._unused.pop(self._rng.randrange(len(self._unused)))
-        if self._gather_fn is None:
-            import jax
+        k = min(self.PREFETCH, len(self._unused))
+        frames = [
+            self._unused.pop(self._rng.randrange(len(self._unused)))
+            for _ in range(k)
+        ]
+        if k not in self._gather_fns:
 
             def gather(traj, f0):
                 scene = Scene(
@@ -230,8 +249,13 @@ class GravityDatasetOtf:
                 )
                 return scene, self._build_target(traj, f0, f0 + 1)
 
-            self._gather_fn = jax.jit(gather)
-        return self._gather_fn(self._traj, frame_0)
+            # static unroll: one dispatch returns k ready (Scene, y) pairs —
+            # no per-step device ops when they're consumed
+            self._gather_fns[k] = jax.jit(
+                lambda traj, fs: tuple(gather(traj, fs[i]) for i in range(k))
+            )
+        pairs = self._gather_fns[k](self._traj, jnp.asarray(frames))
+        self._ready.extend(pairs)
 
     def get_ground_truth_trajectories(self, batch_size: Optional[int] = None):
         """Fresh GT rollout targets for self-feed evaluation

@@ -56,9 +56,11 @@ def test_dataset_queue_semantics(tmp_run_dir):
         scene, y = ds.get_batch()
         assert scene.pos.shape == (2, 5, 3)
         assert y.shape == (2, 5, 6)
-    assert len(ds._unused) == 0
+    assert len(ds._unused) == 0 and len(ds._ready) == 0
     ds.get_batch()  # triggers regeneration
-    assert len(ds._unused) == 3
+    # frame-pair accounting unchanged by prefetch batching: 3 of the new
+    # trajectory's 4 usable pairs remain (in the pool or already gathered)
+    assert len(ds._unused) + len(ds._ready) == 3
 
 
 def test_dataset_cache_roundtrip(tmp_run_dir):
