@@ -52,3 +52,36 @@ def test_checkpoint_pdf(tmp_path):
     plt.close(fig)
     out = trajectories.aggregate_checkpoint_plots_pdf(str(tmp_path))
     assert out is not None and os.path.exists(out)
+
+
+def test_extended_multiplots(tmp_path):
+    """The 6 non-macro multiplot PNGs of plot_macros (plot_macros.py:39-50)."""
+    loc = np.stack([_walk(0), _walk(1)])  # [2, S, T, N, 3]
+    vel = np.diff(loc, axis=2, prepend=loc[:, :, :1])
+    energies = {
+        s: np.random.default_rng(i).normal(size=(3, 40, 3))
+        for i, s in enumerate(("ground truth", "predicted"))
+    }
+    macro_plots.plot_extended_multiplots(str(tmp_path), loc, vel, energies)
+    for f in [
+        "feature_distributions.png",
+        "difference_distributions.png",
+        "momentum_statistics_multiplot.png",
+        "energies_of_all_sims.png",
+        "energy_distributions_across_all_sims.png",
+    ]:
+        assert (tmp_path / f).exists(), f
+
+
+def test_multi_model_overlay(tmp_path):
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation.ks_checkpoints import (
+        _plot_multi_model,
+    )
+
+    series = {
+        "a": [{"checkpoint": 10, "combined_pvalue": 0.1}, {"checkpoint": 20, "combined_pvalue": 0.5}],
+        "b": [{"checkpoint": 10, "combined_pvalue": 1e-10}],
+    }
+    out = tmp_path / "sub" / "overlay_multi.png"
+    _plot_multi_model(series, str(out))
+    assert out.exists()
