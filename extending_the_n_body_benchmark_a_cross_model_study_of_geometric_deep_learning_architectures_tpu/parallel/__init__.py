@@ -7,3 +7,4 @@ from .sharded import (  # noqa: F401
     sharded_datagen,
     make_sharded_rollout_fn,
 )
+from .ring import make_ring_acceleration  # noqa: F401

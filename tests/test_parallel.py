@@ -134,3 +134,37 @@ def test_body_axis_mesh_constructs():
     mesh = make_mesh(8, body_parallel=2)
     assert mesh.devices.shape == (4, 2)
     assert mesh.axis_names == ("sim", "body")
+
+
+def test_ring_acceleration_matches_dense():
+    """Body-sharded ring force pass (shard_map + ppermute over 8 virtual
+    devices) equals the dense single-device kernel for single systems and
+    batches."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core.physics import (
+        GravityParams,
+        compute_acceleration,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.parallel import (
+        make_ring_acceleration,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.parallel.mesh import (
+        make_mesh,
+    )
+
+    params = GravityParams(interaction_strength=2.0, softening=0.2, dt=0.01, noise_var=0.0)
+    mesh = make_mesh(body_parallel=8)
+    ring = make_ring_acceleration(mesh, params)
+
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (64, 3))
+    mass = jnp.abs(jax.random.normal(jax.random.PRNGKey(1), (64, 1))) + 0.5
+    want = compute_acceleration(pos[None], mass[None], 2.0, 0.2)[0]
+    got = ring(pos, mass)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-6)
+
+    # batched [B, N, 3]
+    posb = jax.random.normal(jax.random.PRNGKey(2), (4, 32, 3))
+    massb = jnp.ones((4, 32, 1))
+    wantb = compute_acceleration(posb, massb, 2.0, 0.2)
+    gotb = ring(posb, massb)
+    np.testing.assert_allclose(np.asarray(gotb), np.asarray(wantb), rtol=2e-5, atol=1e-6)
