@@ -359,8 +359,25 @@ def main(argv=None):  # pragma: no cover - thin CLI
     p.add_argument("--mode", default="free",
                    choices=["free", "param_small", "param_medium"])
     p.add_argument("--study_dir", default="hpo_results")
+    p.add_argument("--train_epochs", type=int, default=4)
+    p.add_argument("--steps_per_epoch", type=int, default=50)
+    p.add_argument("--self_feed_limit_steps", type=int, default=20)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--sim_length", type=int, default=None)
     a = p.parse_args(argv)
-    best = run_study(a.model_type, trials=a.trials, mode=a.mode, study_dir=a.study_dir)
+    base = {}
+    dl = {k: v for k, v in
+          {"batch_size": a.batch_size,
+           "gravity_dataset": {"sim_length": a.sim_length} if a.sim_length else None}.items()
+          if v is not None}
+    if dl:
+        base = {"dataloaders": {f"{a.model_type}_nbody": dl}}
+    best = run_study(
+        a.model_type, trials=a.trials, mode=a.mode, study_dir=a.study_dir,
+        base_config=base or None, train_epochs=a.train_epochs,
+        steps_per_epoch=a.steps_per_epoch,
+        self_feed_limit_steps=a.self_feed_limit_steps,
+    )
     print("best trial:", json.dumps(best, indent=2))
 
 
