@@ -115,6 +115,7 @@ class SEGNN(nn.Module):
     num_layers: int = 20
     normalization_type: str | None = None  # config.yaml sets null
     center_mode: str = "coords"  # reference parity; "nodes" = CoM subtract
+    use_force_input: bool = False  # add SH(force) to node_attr (o3_building_blocks.py:267-271)
 
     def setup(self):
         self.input_irreps = Irreps("1x1o+1x1o+1x0e")
@@ -171,6 +172,8 @@ class SEGNN(nn.Module):
         node_attr = G.masked_segment_mean(edge_sh, adj) + spherical_harmonics(
             self.lmax_attr, vel
         )
+        if self.use_force_input:
+            node_attr = node_attr + spherical_harmonics(self.lmax_attr, scene.force)
         # trivial irrep of attrs must stay 1 (segnn.py:147-148)
         node_attr = node_attr.at[..., 0].set(1.0)
 
