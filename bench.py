@@ -78,10 +78,14 @@ def make_scene(dtype):
     )
 
 
-def measure(use_pallas: bool, dtype, params, tile=None, label=None) -> float:
+def measure(
+    use_pallas: bool, dtype, params, tile=None, label=None, compute_dtype=""
+) -> float:
     kwargs = {"use_pallas": use_pallas}
     if use_pallas and tile is not None:
         kwargs["pallas_tile"] = tile
+    if compute_dtype:
+        kwargs["compute_dtype"] = compute_dtype
     model = create_model(MODEL, **kwargs)
     scene0 = make_scene(dtype)
     cast = jax.jit(
@@ -210,13 +214,16 @@ def main() -> None:
         # f32 tile 64 exceeds the 16M VMEM budget at He=128/N=100
         # (verified on v5e); 32 is the largest working f32 tile there.
         configs = [
-            ("xla-bfloat16", False, jnp.bfloat16, None),
-            ("pallas-f32-t32", True, jnp.float32, 32),
-            ("pallas-bf16-t64", True, jnp.bfloat16, 64),
+            ("xla-bfloat16", False, jnp.bfloat16, None, ""),
+            # mixed: f32 coords/integration, bf16 message stack — bf16-class
+            # speed at f32-class rollout stability
+            ("xla-mixed-bf16", False, jnp.float32, None, "bfloat16"),
+            ("pallas-mixed-bf16-t32", True, jnp.float32, 32, "bfloat16"),
+            ("pallas-bf16-t64", True, jnp.bfloat16, 64, ""),
         ]
-        for name, use_pallas, dtype, tile in configs:
+        for name, use_pallas, dtype, tile, cdt in configs:
             try:
-                results[name] = measure(use_pallas, dtype, params, tile, name)
+                results[name] = measure(use_pallas, dtype, params, tile, name, cdt)
             except Exception as e:  # keep the bench robust to kernel issues
                 log(f"{name} failed: {e!r}")
 

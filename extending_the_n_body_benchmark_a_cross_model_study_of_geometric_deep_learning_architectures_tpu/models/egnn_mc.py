@@ -91,31 +91,44 @@ class _EGNNBlock(nn.Module):
             norm = jnp.clip(G.safe_sqrt(radial), 1.0, None)
             coord_diff = coord_diff / norm
 
+        # The edge MLP's first matmul is decomposed over the concat
+        # ``[h_i, h_j, d^2, edge_attr] @ W1`` into per-node projections plus a
+        # 5-feature geometric term — algebraically identical (summation
+        # reorder only) but it never materialises the ``[B,N,N,2H+5]`` concat
+        # tensor, the dominant HBM term of the naive dense formulation.
+        hA = h @ W1d[:H] + b1d  # receiver term  [B,N,He]
+        hB = h @ W1d[H : 2 * H]  # sender term    [B,N,He]
+
         if self.use_pallas:
             from ..ops.pallas.egnn_messages import fused_egnn_messages
 
-            hA = h @ W1d[:H] + b1d
-            hB = h @ W1d[H : 2 * H]
             geom = jnp.concatenate([radial, edge_attr, coord_diff], axis=-1)
             agg, trans_mean = fused_egnn_messages(
                 hA, hB, geom, mask,
                 W1d[2 * H :], W2d, b2d, Wc1d, bc1d, wc2d[:, 0],
                 tanh=self.tanh, tile=self.pallas_tile,
             )
-            coord = coord + trans_mean * self.coords_weight
+            coord = coord + trans_mean.astype(coord.dtype) * self.coords_weight
         else:
             # --- edge model (egnn_mc.py:108-122): [h_i, h_j, d^2, edge_attr].
-            n = h.shape[1]
-            h_i = jnp.broadcast_to(h[:, :, None, :], h.shape[:1] + (n, n, H))
-            h_j = jnp.broadcast_to(h[:, None, :, :], h.shape[:1] + (n, n, H))
-            edge_in = jnp.concatenate([h_i, h_j, radial, edge_attr], axis=-1)
-            m_ij = act(act(edge_in @ W1d + b1d) @ W2d + b2d)
+            g_term = (
+                jnp.concatenate([radial, edge_attr], axis=-1).astype(dtype)
+                @ W1d[2 * H :]
+            )  # [B,N,N,He]
+            m_ij = act(
+                act(hA[:, :, None, :] + hB[:, None, :, :] + g_term) @ W2d + b2d
+            )
 
             # --- coord model (egnn_mc.py:135-153): scalar weight per edge.
             w = act(m_ij @ Wc1d + bc1d) @ wc2d
             if self.tanh:
                 w = jnp.tanh(w)
-            trans = jnp.clip(w * coord_diff, -100.0, 100.0)  # [B,N,N,3]
+            # coordinate update stays in the coord dtype (f32 under mixed
+            # precision): only the scalar edge weight w comes from the
+            # low-precision message stack.
+            trans = jnp.clip(
+                w.astype(coord.dtype) * coord_diff, -100.0, 100.0
+            )  # [B,N,N,3]
             coord = coord + G.masked_segment_mean(trans, mask) * self.coords_weight
             agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
 
@@ -130,7 +143,7 @@ class _EGNNBlock(nn.Module):
             hidden=[self.hidden_node_dim],
             out=self.hidden_node_dim,
             activation=self.activation,
-        )(jnp.concatenate([h, agg], axis=-1))
+        )(jnp.concatenate([h, agg], axis=-1)).astype(h.dtype)
         if self.recurrent:
             h_out = h + h_out
         return (h_out, coord), None
@@ -156,6 +169,10 @@ class EGNNMC(nn.Module):
     num_targets: int = 2
     use_pallas: bool = False  # fused message kernel (TPU, silu only)
     pallas_tile: int = 32  # receiver rows per kernel program
+    compute_dtype: str = ""  # e.g. "bfloat16": hidden/message math in low
+    # precision while coordinates, geometry and integration stay in the
+    # scene dtype (f32) — recovers full-precision rollout stability at
+    # near-bf16 speed (the [B,N,N,He] message stack dominates)
 
     def featurize(self, scene: Scene, mask) -> Tuple[jnp.ndarray, jnp.ndarray]:
         """Node features and edge attributes of the egnn_mc dataloader
@@ -179,6 +196,8 @@ class EGNNMC(nn.Module):
     def __call__(self, scene: Scene, mask, train: bool = False):
         x, edge_attr = self.featurize(scene, mask)
         h = TorchLinear(self.hidden_node_dim)(x)
+        if self.compute_dtype:
+            h = h.astype(jnp.dtype(self.compute_dtype))
         coord = scene.pos
         velocity = scene.vel
 

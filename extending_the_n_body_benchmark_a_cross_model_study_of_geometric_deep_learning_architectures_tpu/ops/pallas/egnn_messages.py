@@ -116,8 +116,83 @@ def _kernel(
     trans_ref[0, :, 3:8] = jnp.zeros((ti, 5), trans_ref.dtype)
 
 
+def _kernel_v2(
+    hA_ref,  # [1, TI, He]
+    hB_ref,  # [1, N, He]
+    scal_ref,  # [1, 8, TI, N]  f32 planes: radial, eattr0..3, cd_x, cd_y, cd_z
+    mask_ref,  # [1, TI, N]  (1.0 = edge active)
+    w_geom_ref,  # [8, He]
+    W2_ref,  # [He, He]
+    b2_ref,  # [1, He]
+    Wc1_ref,  # [He, Hc]
+    bc1_ref,  # [1, Hc]
+    wc2_ref,  # [Hc, 8]  only column 0 used
+    agg_ref,  # [1, TI, He]
+    trans_ref,  # [1, TI, 8]
+    *,
+    tanh: bool,
+    he: int,
+    hc: int,
+):
+    """V2 of :func:`_kernel`: geometry arrives as full-lane ``[TI, N]`` scalar
+    planes instead of a ``[TI, N, 8]`` tensor, so no narrow-lane (8-wide)
+    VMEM buffers or relayouting reshapes exist; the geometric projection is
+    five broadcast FMAs instead of a skinny matmul."""
+    op_dtype = hA_ref.dtype
+    hA = hA_ref[0]  # [TI, He]
+    hB = hB_ref[0]  # [N, He]
+    scal = scal_ref[0]  # [8, TI, N] f32
+    mask = mask_ref[0]  # [TI, N]   f32
+    ti, n = mask.shape
+
+    # g_term[i,j,:] = sum_k scal_k[i,j] * Wg[k,:]  -- [TI, N, He]
+    g_term = scal[0][:, :, None] * w_geom_ref[0:1, :][None].astype(jnp.float32)
+    for k in range(1, 5):
+        g_term += scal[k][:, :, None] * w_geom_ref[k : k + 1, :][None].astype(
+            jnp.float32
+        )
+
+    m1 = jax.nn.silu(
+        hA[:, None, :].astype(jnp.float32)
+        + hB[None, :, :].astype(jnp.float32)
+        + g_term
+    )
+
+    m2 = jax.nn.silu(
+        jnp.dot(
+            m1.reshape(ti * n, he).astype(op_dtype),
+            W2_ref[:, :],
+            preferred_element_type=jnp.float32,
+        )
+        + b2_ref[0][None, :].astype(jnp.float32)
+    )  # [TI*N, He] f32
+
+    count = jnp.sum(mask, axis=1, keepdims=True)  # [TI, 1]
+    inv_count = 1.0 / jnp.maximum(count, 1.0)
+    m2m = m2.reshape(ti, n, he) * mask[:, :, None]
+    agg_ref[0] = (jnp.sum(m2m, axis=1) * inv_count).astype(agg_ref.dtype)
+
+    w = jax.nn.silu(
+        jnp.dot(m2.astype(op_dtype), Wc1_ref[:, :], preferred_element_type=jnp.float32)
+        + bc1_ref[0][None, :].astype(jnp.float32)
+    )
+    w = jnp.dot(
+        w.astype(op_dtype), wc2_ref[:, :], preferred_element_type=jnp.float32
+    )[:, 0]
+    if tanh:
+        w = jnp.tanh(w)
+    w2d = w.reshape(ti, n)
+    cols = [
+        jnp.sum(jnp.clip(w2d * scal[5 + k], -100.0, 100.0) * mask, axis=1, keepdims=True)
+        * inv_count
+        for k in range(3)
+    ]
+    trans_ref[0, :, 0:3] = jnp.concatenate(cols, axis=1).astype(trans_ref.dtype)
+    trans_ref[0, :, 3:8] = jnp.zeros((ti, 5), trans_ref.dtype)
+
+
 @functools.partial(
-    jax.jit, static_argnames=("tanh", "interpret", "tile")
+    jax.jit, static_argnames=("tanh", "interpret", "tile", "version")
 )
 def fused_egnn_messages(
     hA: jnp.ndarray,  # [B, N, He]  = h @ W1a + b1
@@ -133,8 +208,14 @@ def fused_egnn_messages(
     tanh: bool = True,
     interpret: bool = False,
     tile: int = _DEFAULT_TI,
+    version: int = 1,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
-    """Returns ``(agg [B,N,He], trans [B,N,3])`` — masked means over senders."""
+    """Returns ``(agg [B,N,He], trans [B,N,3])`` — masked means over senders.
+
+    ``version=2`` feeds geometry as full-lane ``[B, 8, N, N]`` scalar planes
+    (see :func:`_kernel_v2`); ``version=1`` (default — measured faster on
+    v5e, see BENCH_NOTES.md) keeps the ``[B, N, N, 8]`` packed-lane
+    layout."""
     B, N, He = hA.shape
     Hc = Wc1.shape[1]
     _TI = min(tile, ((N + 7) // 8) * 8)
@@ -156,34 +237,74 @@ def fused_egnn_messages(
     maskf = mask.astype(jnp.float32)
     geom = geom.astype(jnp.float32)
 
-    kernel = functools.partial(_kernel, tanh=tanh, he=He, hc=Hc)
     grid = (B, Ni // _TI)
-    agg, trans = pl.pallas_call(
-        kernel,
-        grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, _TI, He), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Nj, He), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (1, _TI, Nj, _GEOM_LANES), lambda b, i: (b, i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((1, _TI, Nj), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((He, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((He, Hc), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, Hc), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hc, 8), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, _TI, He), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _TI, 8), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((B, Ni, He), hA.dtype),
-            jax.ShapeDtypeStruct((B, Ni, 8), hA.dtype),
-        ),
-        interpret=interpret,
-    )(hA, hB, geom, maskf, w_geom8, W2, b2[None, :], Wc1, bc1[None, :], wc2_col)
+    weight_specs = [
+        pl.BlockSpec((8, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((He, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, He), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((He, Hc), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, Hc), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((Hc, 8), lambda b, i: (0, 0), memory_space=pltpu.VMEM),
+    ]
+    out_specs = (
+        pl.BlockSpec((1, _TI, He), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, _TI, 8), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM),
+    )
+    out_shape = (
+        jax.ShapeDtypeStruct((B, Ni, He), hA.dtype),
+        jax.ShapeDtypeStruct((B, Ni, 8), hA.dtype),
+    )
+    weights = (w_geom8, W2, b2[None, :], Wc1, bc1[None, :], wc2_col)
+
+    if version == 2:
+        scal = jnp.moveaxis(geom, -1, 1)  # [B, 8, Ni, Nj] f32 planes
+        kernel = functools.partial(_kernel_v2, tanh=tanh, he=He, hc=Hc)
+        agg, trans = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, _TI, He), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, Nj, He), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, _GEOM_LANES, _TI, Nj), lambda b, i: (b, 0, i, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _TI, Nj), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                *weight_specs,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(hA, hB, scal, maskf, *weights)
+    else:
+        kernel = functools.partial(_kernel, tanh=tanh, he=He, hc=Hc)
+        agg, trans = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, _TI, He), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, Nj, He), lambda b, i: (b, 0, 0), memory_space=pltpu.VMEM
+                ),
+                pl.BlockSpec(
+                    (1, _TI, Nj, _GEOM_LANES), lambda b, i: (b, i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, _TI, Nj), lambda b, i: (b, i, 0), memory_space=pltpu.VMEM
+                ),
+                *weight_specs,
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            interpret=interpret,
+        )(hA, hB, geom, maskf, *weights)
     return agg[:, :N], trans[:, :N, 0:3]

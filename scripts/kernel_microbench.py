@@ -74,19 +74,26 @@ def main():
         *(w.astype(bf) for w in ws),
     )
     print(f"xla dense bf16:       {ms:7.2f} ms/layer-call", flush=True)
-    for dtype, dn in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
-        for tile in tiles:
-            try:
-                ms = bench(
-                    fused_egnn_messages,
-                    hA.astype(dtype), hB.astype(dtype), geom.astype(dtype), mask,
-                    w_geom.astype(dtype), W2.astype(dtype), b2.astype(dtype),
-                    Wc1.astype(dtype), bc1.astype(dtype), wc2.astype(dtype),
-                    tanh=True, tile=tile,
-                )
-                print(f"pallas {dn} tile {tile:3d}:  {ms:7.2f} ms/layer-call", flush=True)
-            except Exception as e:
-                print(f"pallas {dn} tile {tile}: FAILED {str(e)[:120]}", flush=True)
+    for version in (1, 2):
+        for dtype, dn in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+            for tile in tiles:
+                try:
+                    ms = bench(
+                        fused_egnn_messages,
+                        hA.astype(dtype), hB.astype(dtype), geom.astype(dtype), mask,
+                        w_geom.astype(dtype), W2.astype(dtype), b2.astype(dtype),
+                        Wc1.astype(dtype), bc1.astype(dtype), wc2.astype(dtype),
+                        tanh=True, tile=tile, version=version,
+                    )
+                    print(
+                        f"pallas v{version} {dn} tile {tile:3d}:  {ms:7.2f} ms/layer-call",
+                        flush=True,
+                    )
+                except Exception as e:
+                    print(
+                        f"pallas v{version} {dn} tile {tile}: FAILED {str(e)[:120]}",
+                        flush=True,
+                    )
 
 
 if __name__ == "__main__":

@@ -65,6 +65,45 @@ def test_fused_egnn_messages_matches_dense(monkeypatch):
     )
 
 
+def test_fused_egnn_messages_v2_matches_v1():
+    """The plane-layout kernel (version=2) must agree with version=1."""
+    B, N, He, Hc = 2, 20, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    mk = lambda i, s: jax.random.normal(ks[i], s, jnp.float32) * 0.2
+    hA, hB = mk(0, (B, N, He)), mk(1, (B, N, He))
+    geom = mk(2, (B, N, N, 8))
+    mask = jnp.ones((B, N, N), bool) & ~jnp.eye(N, dtype=bool)
+    args = (
+        hA, hB, geom, mask, mk(3, (5, He)), mk(4, (He, He)), mk(5, (He,)),
+        mk(6, (He, Hc)), mk(7, (Hc,)), mk(8, (Hc,)),
+    )
+    a1, t1 = EM.fused_egnn_messages(*args, interpret=True, version=1)
+    a2, t2 = EM.fused_egnn_messages(*args, interpret=True, version=2)
+    np.testing.assert_allclose(np.asarray(a1), np.asarray(a2), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(t1), np.asarray(t2), atol=1e-5)
+
+
+def test_egnn_mc_mixed_precision_close_to_f32():
+    """compute_dtype='bfloat16' keeps coords f32 and tracks the f32 output."""
+    B, N = 2, 8
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32) * 0.1,
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.ones((B, N, 1), jnp.float32),
+    )
+    mask = G.knn_mask(scene.pos, N - 1)
+    kw = dict(num_layers=2, hidden_node_dim=32, hidden_edge_dim=32, hidden_coord_dim=32)
+    m32 = create_model("egnn_mc", **kw)
+    mmx = create_model("egnn_mc", compute_dtype="bfloat16", **kw)
+    params = m32.init(jax.random.PRNGKey(2), scene, mask)
+    o32 = m32.apply(params, scene, mask)
+    omx = mmx.apply(params, scene, mask)
+    assert omx.dtype == jnp.float32
+    rel = float(jnp.max(jnp.abs(o32 - omx)) / (jnp.max(jnp.abs(o32)) + 1e-9))
+    assert rel < 0.05, rel
+
+
 def test_fused_egnn_messages_padding_path(monkeypatch):
     """N not a multiple of the receiver tile exercises padding."""
     monkeypatch.setattr(
