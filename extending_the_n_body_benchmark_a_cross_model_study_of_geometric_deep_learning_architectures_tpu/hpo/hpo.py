@@ -111,6 +111,42 @@ class TPESampler:
         return max(cands, key=score)
 
 
+# ------------------------------------------------------------ pruning
+
+
+class PrunedTrial(Exception):
+    """Raised inside an objective when the pruner vetoes continuation."""
+
+
+class MedianPruner:
+    """``optuna.pruners.MedianPruner`` semantics (reference ``hpo.py:675``).
+
+    A trial is pruned at step ``s`` when its intermediate value is strictly
+    below the median of the intermediate values previously reported at the
+    same step.  Note the reference *instantiates* this pruner but its
+    objective never calls ``trial.report``, so pruning is inert there; here
+    reporting is wired through :func:`run_study` (opt-in via ``pruner=``).
+    """
+
+    def __init__(self, n_startup_trials: int = 5, n_warmup_steps: int = 0):
+        self.n_startup_trials = n_startup_trials
+        self.n_warmup_steps = n_warmup_steps
+        self._trials: List[Dict[int, float]] = []
+
+    def register(self, intermediates: Dict[int, float]) -> None:
+        """Record a finished (done or pruned) trial's intermediate values."""
+        if intermediates:
+            self._trials.append({int(k): float(v) for k, v in intermediates.items()})
+
+    def should_prune(self, step: int, value: float) -> bool:
+        if len(self._trials) < self.n_startup_trials or step < self.n_warmup_steps:
+            return False
+        at_step = [t[step] for t in self._trials if step in t]
+        if not at_step:
+            return False
+        return value < float(np.median(at_step))
+
+
 # ------------------------------------------------------------ search spaces
 
 
@@ -275,13 +311,19 @@ def run_study(
     self_feed_limit_steps: int = 20,
     seed: int = 0,
     objective_fn=None,
+    pruner: Optional[MedianPruner] = None,
 ) -> Dict:
     """Run (or resume) a study; returns the best trial record.
 
     ``objective_fn(model_kwargs, trainer_overrides) -> float`` can be
     injected (tests); the default trains via the real Trainer and scores the
-    last checkpoints' combined KS p.
+    last checkpoints' combined KS p.  With ``pruner`` set, the objective may
+    accept a third ``report(step, value)`` argument: calling it raises
+    :class:`PrunedTrial` when the pruner vetoes continuation (the trial is
+    recorded with status ``pruned`` and its partial value kept).
     """
+    import inspect
+
     from ..utils.config import flatten_args
 
     os.makedirs(study_dir, exist_ok=True)
@@ -290,8 +332,11 @@ def run_study(
     if os.path.exists(store):
         with open(store) as f:
             history = [json.loads(l) for l in f if l.strip()]
+    if pruner is not None:  # resume: rebuild pruner state from the store
+        for h in history:
+            pruner.register(h.get("intermediates") or {})
 
-    def default_objective(model_kwargs, trainer_overrides):
+    def default_objective(model_kwargs, trainer_overrides, report=None):
         from ..train.trainer import create_trainer_from_args
 
         cfg = dict(base_config or {})
@@ -300,21 +345,35 @@ def run_study(
         cfg.setdefault("models", {})[model_type] = model_kwargs
         tr = cfg.setdefault("trainers", {}).setdefault("trainer_nbody", {})
         tr.update(trainer_overrides)
+        eval_every = max(1, train_epochs // 2)
         tr.update(
             train_steps=train_epochs,
             steps_per_epoch=steps_per_epoch,
-            test_macros_every=max(1, train_epochs // 2),
-            save_model_every=max(1, train_epochs // 2),
+            test_macros_every=eval_every,
+            save_model_every=eval_every,
             self_feed_limit_steps=self_feed_limit_steps,
             plot_macros=False,
             save_trajectory_npys=False,
         )
         args = flatten_args(cfg)
         trainer = create_trainer_from_args(args)
-        trainer.train()
+        if report is None:
+            trainer.train()
+        else:
+            # incremental epochs so intermediate KS scores can be reported
+            # (the reference's run_short_training_and_score loop shape,
+            # hpo.py:307-329 — with reporting actually wired up)
+            while trainer.step_count < train_epochs:
+                trainer.train_one_epoch()
+                trainer.step_count += 1
+                if trainer.step_count % eval_every == 0:
+                    trainer.run_self_feed_eval()
+                    report(trainer.step_count, score_run(trainer.save_dir_path))
+            trainer.save_model(final=True)
         return score_run(trainer.save_dir_path)
 
     objective = objective_fn or default_objective
+    takes_report = "report" in inspect.signature(objective).parameters
 
     while len(history) < trials:
         t0 = time.time()
@@ -333,17 +392,42 @@ def run_study(
             "status": "running",
             "value": None,
         }
+        intermediates: Dict[int, float] = {}
+
+        def report(step: int, value: float) -> None:
+            intermediates[int(step)] = float(value)
+            record["value"] = float(value)  # best-so-far partial value
+            if pruner is not None and pruner.should_prune(int(step), float(value)):
+                raise PrunedTrial(f"step {step}: {value} below running median")
+
         try:
-            record["value"] = float(objective(model_kwargs, trainer_overrides))
+            call_args = (model_kwargs, trainer_overrides)
+            if pruner is not None and takes_report:
+                record["value"] = float(objective(*call_args, report=report))
+            else:
+                record["value"] = float(objective(*call_args))
             record["status"] = "done"
+        except PrunedTrial as e:
+            record["status"] = "pruned"
+            record["error"] = str(e)
         except Exception as e:  # crash resilience (hpo.py heartbeats)
             record["status"] = "failed"
             record["error"] = repr(e)
+        if intermediates:
+            record["intermediates"] = intermediates
+        if pruner is not None:
+            pruner.register(intermediates)
         record["seconds"] = time.time() - t0
         history.append(record)
         _atomic_append(store, record)
 
-    done = [h for h in history if h.get("value") is not None]
+    # pruned trials keep their partial value for the record but (like
+    # optuna) do not compete for best
+    done = [
+        h
+        for h in history
+        if h.get("value") is not None and h.get("status") != "pruned"
+    ]
     best = max(done, key=lambda h: h["value"]) if done else None
     with open(os.path.join(study_dir, f"{model_type}_{mode}_summary.json"), "w") as f:
         json.dump({"best": best, "n_trials": len(history)}, f, indent=2)

@@ -138,6 +138,56 @@ def test_run_study_with_stub_objective(tmp_path):
     assert best2["value"] == best["value"]
 
 
+def test_median_pruner_semantics():
+    p = hpo.MedianPruner(n_startup_trials=2)
+    assert not p.should_prune(1, -100.0)  # startup: too few finished trials
+    p.register({1: 0.0, 2: 1.0})
+    p.register({1: 2.0, 2: 3.0})
+    assert p.should_prune(1, 0.5)  # below median(0, 2) = 1
+    assert not p.should_prune(1, 1.0)  # at the median survives
+    assert not p.should_prune(3, -100.0)  # no history at this step
+
+
+def test_run_study_prunes_bad_trials(tmp_path):
+    """Objectives reporting below-median intermediates get status=pruned."""
+    n = [0]
+
+    def objective(model_kwargs, trainer_overrides, report=None):
+        n[0] += 1
+        # first two trials are good (value 1.0 at step 1), later ones bad
+        val = 1.0 if n[0] <= 2 else -1.0
+        report(1, val)
+        return val
+
+    pruner = hpo.MedianPruner(n_startup_trials=2)
+    hpo.run_study(
+        "egnn_mc",
+        trials=5,
+        study_dir=str(tmp_path / "hpo"),
+        objective_fn=objective,
+        pruner=pruner,
+    )
+    store = tmp_path / "hpo" / "egnn_mc_free_trials.jsonl"
+    records = [json.loads(l) for l in open(store)]
+    statuses = [r["status"] for r in records]
+    assert statuses[:2] == ["done", "done"]
+    assert statuses[2:] == ["pruned"] * 3
+    assert all("intermediates" in r for r in records)
+    # pruned trials never compete for best
+    summary = json.load(open(tmp_path / "hpo" / "egnn_mc_free_summary.json"))
+    assert summary["best"]["status"] == "done"
+    # resume restores pruner state from the store
+    p2 = hpo.MedianPruner(n_startup_trials=2)
+    hpo.run_study(
+        "egnn_mc",
+        trials=5,
+        study_dir=str(tmp_path / "hpo"),
+        objective_fn=objective,
+        pruner=p2,
+    )
+    assert len(p2._trials) == 5
+
+
 def test_time_cutoff_report(tmp_path):
     import time as _time
 
