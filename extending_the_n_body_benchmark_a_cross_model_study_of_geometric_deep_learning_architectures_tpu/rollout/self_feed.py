@@ -20,6 +20,7 @@ the quantity the trainer logs (``trainer.py:1040-1047``).
 
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional, Tuple
 
@@ -38,6 +39,7 @@ def make_rollout_fn(
     num_neighbors: Optional[int] = None,
     target: str = "pos_dt+vel",
     explosion_threshold: float = EXPLOSION_THRESHOLD,
+    matmul_precision: Optional[str] = None,
 ):
     """Build a jitted rollout: ``fn(params, scene0) -> (loc, vel, survived)``.
 
@@ -47,6 +49,11 @@ def make_rollout_fn(
         matching ``infer_self_feed.py:99``).
       num_neighbors: KNN degree; ``None`` means fully connected, the
         reference's rollout default (``infer_self_feed.py:58``).
+      matmul_precision: optional jax matmul precision for the rollout trace
+        (e.g. ``"float32"``).  TPU f32 matmuls default to one-pass bf16
+        multiplication; over ~1000 closed-loop steps that noise compounds —
+        the reference rolls out in f64 (``config.yaml:177``), so
+        precision-sensitive models (EquiformerV2) need true-f32 here.
     Returns:
       ``loc, vel`` of shape ``[B, T, N, 3]`` (frame 0 = initial state) and
       ``survived [B]`` int32 per-sim surviving step counts.
@@ -55,6 +62,14 @@ def make_rollout_fn(
 
     @jax.jit
     def rollout(params, scene0: Scene):
+        if matmul_precision:
+            ctx = jax.default_matmul_precision(matmul_precision)
+        else:
+            ctx = contextlib.nullcontext()
+        with ctx:
+            return _rollout_body(params, scene0)
+
+    def _rollout_body(params, scene0: Scene):
         n = scene0.pos.shape[1]
         k = num_neighbors if (num_neighbors and 0 < num_neighbors < n) else n - 1
         mass = scene0.mass
@@ -91,6 +106,12 @@ def make_rollout_fn(
     return rollout
 
 
+# flax modules are frozen dataclasses (hashable), so repeated checkpoint
+# evaluations of the same model/shape reuse one jitted rollout instead of
+# re-tracing every eval (the trainer calls this every test_macros_every)
+_cached_rollout_fn = functools.lru_cache(maxsize=8)(make_rollout_fn)
+
+
 def run_self_feed(
     model,
     params,
@@ -99,6 +120,7 @@ def run_self_feed(
     num_neighbors: Optional[int] = None,
     batch_size: Optional[int] = None,
     mesh=None,
+    matmul_precision: Optional[str] = None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
     """Full checkpoint evaluation rollout against fresh ground truth.
 
@@ -116,8 +138,12 @@ def run_self_feed(
     scene0 = Scene(
         pos=loc_gt[:, 0], vel=vel_gt[:, 0], force=force_gt[:, 0], mass=mass
     )
-    fn = make_rollout_fn(
-        model, T, num_neighbors=num_neighbors, target=dataset.target
+    fn = _cached_rollout_fn(
+        model,
+        T,
+        num_neighbors=num_neighbors,
+        target=dataset.target,
+        matmul_precision=matmul_precision,
     )
     if mesh is not None and scene0.pos.shape[0] % mesh.devices.size == 0:
         from ..parallel.sharded import shard_scene

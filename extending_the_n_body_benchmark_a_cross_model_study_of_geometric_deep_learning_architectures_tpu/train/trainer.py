@@ -65,6 +65,11 @@ class Trainer:
             # loss scaling
             "autocast": jnp.bfloat16,
         }[getattr(args, "precision_mode", "single")]
+        # TPU f32 matmuls default to one-pass bf16 multiplication; opt into
+        # true f32 ("float32"/"highest") for precision-sensitive training —
+        # the reference trains in f64 (config.yaml:177)
+        if getattr(args, "matmul_precision", None):
+            jax.config.update("jax_default_matmul_precision", args.matmul_precision)
 
         seed = args.seed if getattr(args, "seed", None) is not None else 0
         self._rng = jax.random.PRNGKey(seed)
@@ -463,6 +468,7 @@ class Trainer:
             num_steps=self.args.self_feed_limit_steps,
             num_neighbors=None,  # rollout is fully connected (infer_self_feed.py:58)
             mesh=self.mesh,  # shard the sim batch when data-parallel
+            matmul_precision=getattr(self.args, "self_feed_matmul_precision", None),
         )
         per_macro, macro_combined, _, _ = artifacts.evaluate_rollout(
             save_dir,

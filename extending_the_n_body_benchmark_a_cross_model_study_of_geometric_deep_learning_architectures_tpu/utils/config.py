@@ -91,6 +91,10 @@ class TrainerConfig(BaseModel):
     save_trajectory_npys: bool = True
     plot_macros: bool = True
     checkpoint_backend: str = "pickle"  # pickle | orbax (tensorstore dirs)
+    # jax matmul precision overrides (TPU f32 matmuls default to one-pass
+    # bf16 multiplication; the reference trains/rolls out in f64):
+    matmul_precision: Optional[str] = None  # global, e.g. "float32"
+    self_feed_matmul_precision: Optional[str] = None  # rollout trace only
     profile_epochs: Optional[int] = None  # jax.profiler trace of first N epochs
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
 

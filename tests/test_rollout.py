@@ -74,3 +74,29 @@ def test_explosion_freeze_and_steps_survived():
         frozen_at = sv[b]
         np.testing.assert_array_equal(loc[b, frozen_at + 1], loc[b, -1])
     assert np.isfinite(loc).all()
+
+
+def test_rollout_matmul_precision_and_fn_cache():
+    """matmul_precision traces fine; the lru-cached builder reuses fns."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.rollout import (
+        self_feed as SF,
+    )
+
+    model = ConstantDrift()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(0), s0, None)
+    fn = make_rollout_fn(model, num_steps=10, matmul_precision="float32")
+    loc, vel, survived = fn(params, s0)
+    assert loc.shape == (3, 10, 4, 3) and np.isfinite(np.asarray(loc)).all()
+
+    f1 = SF._cached_rollout_fn(
+        model, 10, num_neighbors=None, target="pos_dt+vel", matmul_precision=None
+    )
+    f2 = SF._cached_rollout_fn(
+        model, 10, num_neighbors=None, target="pos_dt+vel", matmul_precision=None
+    )
+    assert f1 is f2
+    f3 = SF._cached_rollout_fn(
+        model, 10, num_neighbors=None, target="pos_dt+vel", matmul_precision="float32"
+    )
+    assert f3 is not f1
