@@ -191,6 +191,71 @@ def main_train() -> None:
     )
 
 
+def main_datagen() -> None:
+    """Ground-truth trajectory generation throughput (BASELINE.md target:
+    beat the reference's per-worker NumPy leapfrog,
+    ``dataset_gravity_otf.py:96-104``).  Baseline measured live: a NumPy
+    transcription of the reference integrator on this host (single process —
+    the reference's pool scales this by its worker count, noted in the log).
+    """
+    import numpy as np
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core import (
+        physics,
+    )
+
+    N = N_BODIES if N_BODIES != 100 else 5  # reference datagen workload: N=5
+    T = int(os.environ.get("BENCH_SIM_LENGTH", 10000))
+    log(f"devices: {jax.devices()} | datagen bench: B={BATCH} N={N} T={T}")
+
+    # NumPy baseline (reference math, synthetic_sim.py:318-355), timed over
+    # T//10 steps and scaled linearly
+    rng = np.random.RandomState(0)
+    pos = rng.randn(N, 3)
+    vel = rng.randn(N, 3)
+    mass = np.ones((N, 1))
+    G_, soft, dt = 2.0, 0.2, 0.001
+
+    def np_acc(pos):
+        x, y, z = pos[:, 0:1], pos[:, 1:2], pos[:, 2:3]
+        dx, dy, dz = x.T - x, y.T - y, z.T - z
+        inv_r3 = dx**2 + dy**2 + dz**2 + soft**2
+        inv_r3[inv_r3 > 0] = inv_r3[inv_r3 > 0] ** (-1.5)
+        return G_ * np.hstack(((dx * inv_r3) @ mass, (dy * inv_r3) @ mass, (dz * inv_r3) @ mass))
+
+    steps_np = max(1, T // 10)
+    acc = np_acc(pos)
+    t0 = time.time()
+    for _ in range(steps_np):
+        vel = vel + acc * dt / 2.0
+        pos = pos + vel * dt
+        acc = np_acc(pos)
+        vel = vel + acc * dt / 2.0
+    numpy_sims_per_sec = 1.0 / ((time.time() - t0) * (T / steps_np))
+    log(f"numpy single-process: {numpy_sims_per_sec:.3f} sims/s (T={T})")
+
+    key = jax.random.PRNGKey(0)
+    run = lambda: physics.sample_trajectory_batch(key, BATCH, N, T=T)
+    out = run()
+    _ = float(jnp.sum(out[0]))  # compile + run (value fetch = barrier)
+    t0 = time.time()
+    out = run()
+    _ = float(jnp.sum(out[0]))
+    dt_s = time.time() - t0
+    sims_per_sec = BATCH / dt_s
+    log(f"device batch: {BATCH} sims in {dt_s:.3f}s -> {sims_per_sec:.1f} sims/s")
+    print(
+        json.dumps(
+            {
+                "metric": f"datagen_sims_per_sec_n{N}_t{T}",
+                "value": round(sims_per_sec, 2),
+                "unit": "sims/s",
+                "vs_baseline": round(sims_per_sec / numpy_sims_per_sec, 2),
+            }
+        )
+    )
+
+
 def main() -> None:
     log(f"devices: {jax.devices()}")
     on_tpu = jax.default_backend() == "tpu"
@@ -242,4 +307,9 @@ def main() -> None:
 
 
 if __name__ == "__main__":
-    main_train() if MODE == "train" else main()
+    if MODE == "train":
+        main_train()
+    elif MODE == "datagen":
+        main_datagen()
+    else:
+        main()
