@@ -110,6 +110,9 @@ def _register_extended_models() -> None:
             num_distance_basis=64,
             max_neighbors=5,
             max_radius=4096.0,
+            use_atom_edge_embedding=True,
+            share_atom_edge_embedding=False,
+            weight_init="normal",
         ),
     )
 

@@ -47,6 +47,7 @@ class TorchLinear(nn.Module):
     features: int
     use_bias: bool = True
     kernel_init: Optional[Callable] = None
+    bias_init: Optional[Callable] = None
 
     @nn.compact
     def __call__(self, x):
@@ -55,7 +56,7 @@ class TorchLinear(nn.Module):
             self.features,
             use_bias=self.use_bias,
             kernel_init=self.kernel_init or torch_kernel_init,
-            bias_init=torch_bias_init_for(fan_in),
+            bias_init=self.bias_init or torch_bias_init_for(fan_in),
             dtype=x.dtype,
             param_dtype=jnp.float32,
         )(x)

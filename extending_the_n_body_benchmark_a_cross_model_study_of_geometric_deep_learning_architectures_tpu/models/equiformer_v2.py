@@ -58,6 +58,27 @@ def _uniform(bound):
     return init
 
 
+def _normal_fanin_kernel(key, shape, dtype=jnp.float32):
+    """``weight_init='normal'``: N(0, 1/sqrt(fan_in)) on Linear kernels
+    (``equiformer_v2_nbody.py:584-590``; flax Dense kernel is [in, out])."""
+    return jax.random.normal(key, shape, dtype) / math.sqrt(shape[0])
+
+
+def _linear(features, weight_init, use_bias=True):
+    """Linear with the reference's post-construction init applied
+    (``equiformer_v2_nbody.py:388-389,584-590``: ``weight_init='normal'`` →
+    N(0, 1/sqrt(fan)) weights + zero bias for every non-radial Linear;
+    'uniform' keeps the torch kaiming-uniform defaults)."""
+    if weight_init == "normal":
+        return TorchLinear(
+            features,
+            use_bias=use_bias,
+            kernel_init=_normal_fanin_kernel,
+            bias_init=nn.initializers.zeros,
+        )
+    return TorchLinear(features, use_bias=use_bias)
+
+
 def smooth_leaky_relu(x, alpha: float = 0.2):
     """``activation.py:63-74``."""
     return ((1 + alpha) / 2.0) * x + ((1 - alpha) / 2.0) * x * (
@@ -66,7 +87,10 @@ def smooth_leaky_relu(x, alpha: float = 0.2):
 
 
 class RadialFunction(nn.Module):
-    """Linear+LayerNorm+SiLU stack (``radial_function.py``)."""
+    """Linear+LayerNorm+SiLU stack (``radial_function.py``).  Weights keep
+    the torch kaiming-uniform bound ±1/sqrt(fan) but biases are zeroed — the
+    reference re-inits every radial Linear that way regardless of
+    ``weight_init`` (``equiformer_v2_nbody.py:596-605``)."""
 
     channels: Sequence[int]  # [in, hidden..., out]
 
@@ -74,7 +98,7 @@ class RadialFunction(nn.Module):
     def __call__(self, x):
         cs = list(self.channels)
         for i, c in enumerate(cs[1:]):
-            x = TorchLinear(c)(x)
+            x = TorchLinear(c, bias_init=nn.initializers.zeros)(x)
             if i < len(cs) - 2:
                 x = nn.LayerNorm(dtype=x.dtype)(x)
                 x = jax.nn.silu(x)
@@ -86,12 +110,18 @@ class SO3Linear(nn.Module):
 
     out_features: int
     mmax: Optional[int] = None  # None -> full lmax layout
+    weight_init: str = "normal"
 
     @nn.compact
     def __call__(self, x):  # [..., K, C_in]
         c_in = x.shape[-1]
+        w_init = (
+            (lambda k, s, d=jnp.float32: jax.random.normal(k, s, d) / math.sqrt(c_in))
+            if self.weight_init == "normal"
+            else _uniform(1.0 / math.sqrt(c_in))
+        )
         w = self.param(
-            "weight", _uniform(1.0 / math.sqrt(c_in)), (LMAX + 1, self.out_features, c_in)
+            "weight", w_init, (LMAX + 1, self.out_features, c_in)
         )
         expand = jnp.asarray(SE.l_expand_index(LMAX, self.mmax))
         w_all = w[expand]  # [K, C_out, C_in]
@@ -144,6 +174,7 @@ class SO2Conv(nn.Module):
     mmax: int = 1
     extra_m0_channels: int = 0
     radial_channels: Optional[Sequence[int]] = None  # edge-MLP widths
+    weight_init: str = "normal"
 
     @nn.compact
     def __call__(self, x, x_edge=None):
@@ -167,7 +198,7 @@ class SO2Conv(nn.Module):
         if self.radial_channels is not None:
             x0 = x0 * rad_parts[0]
         out0_w = n_l0 * self.m_output_channels + self.extra_m0_channels
-        x0 = TorchLinear(out0_w)(x0)
+        x0 = _linear(out0_w, self.weight_init)(x0)
         extra = None
         if self.extra_m0_channels:
             extra = x0[..., : self.extra_m0_channels]
@@ -188,13 +219,21 @@ class SO2Conv(nn.Module):
             )  # [..., 2, n_lm*C]
             if self.radial_channels is not None:
                 xm = xm * rad_parts[m][..., None, :]
-            # fc with 1/sqrt(2)-scaled init (so2_ops.py:52-58)
+            # 'uniform': torch default scaled by 1/sqrt(2) (so2_ops.py:52-58);
+            # 'normal' (the nbody default): the model-level _init_weights pass
+            # runs AFTER that scaling and overwrites the weight with
+            # N(0, 1/sqrt(fan)) — no sqrt(2) factor survives
+            # (equiformer_v2_nbody.py:388,584-590)
             width = 2 * self.m_output_channels * n_lm
             fan = n_lm * C
             fc = nn.Dense(
                 width,
                 use_bias=False,
-                kernel_init=_uniform(1.0 / math.sqrt(fan) / math.sqrt(2.0)),
+                kernel_init=(
+                    _normal_fanin_kernel
+                    if self.weight_init == "normal"
+                    else _uniform(1.0 / math.sqrt(fan) / math.sqrt(2.0))
+                ),
                 dtype=xm.dtype,
                 param_dtype=jnp.float32,
             )(xm)
@@ -286,13 +325,47 @@ class SO2Attention(nn.Module):
     use_sep_s2_act: bool = True
     use_m_share_rad: bool = False
     use_attn_renorm: bool = True
+    # per-block source/target charge embeddings concatenated onto the radial
+    # input (transformer_block.py:104-118,233-249; nbody config.yaml:70)
+    use_atom_edge_embedding: bool = True
+    max_num_elements: int = 90
+    weight_init: str = "normal"
 
     @nn.compact
-    def __call__(self, x, x_edge, D, D_inv, adj, train: bool = False):
+    def __call__(self, x, x_edge, D, D_inv, adj, charges=None, train: bool = False):
         """x [B,N,9,C]; x_edge [B,N,N,Ce]; D [B,N,N,7,9] (rotate+restrict);
-        D_inv [B,N,N,9,7]; adj [B,N,N] (receiver r from senders s)."""
+        D_inv [B,N,N,9,7]; adj [B,N,N] (receiver r from senders s);
+        charges [B,N] int (atomic numbers for the atom-edge embeddings)."""
         B, N = x.shape[:2]
         C = self.sphere_channels
+
+        if self.use_atom_edge_embedding and charges is not None:
+            # init uniform(-0.001, 0.001) per transformer_block.py:111-112
+            src = nn.Embed(
+                self.max_num_elements,
+                self.edge_channels,
+                embedding_init=_uniform(0.001),
+                dtype=x.dtype,
+                param_dtype=jnp.float32,
+                name="source_embedding",
+            )(charges)
+            tgt = nn.Embed(
+                self.max_num_elements,
+                self.edge_channels,
+                embedding_init=_uniform(0.001),
+                dtype=x.dtype,
+                param_dtype=jnp.float32,
+                name="target_embedding",
+            )(charges)
+            # layout [r, s]: source = sender (axis 2), target = receiver (axis 1)
+            x_edge = jnp.concatenate(
+                [
+                    x_edge,
+                    jnp.broadcast_to(src[:, None, :, :], (B, N, N, self.edge_channels)),
+                    jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, self.edge_channels)),
+                ],
+                axis=-1,
+            )
 
         # message = concat(source, target) per edge; layout [r, s]
         x_s = jnp.broadcast_to(x[:, None, :, :, :], (B, N, N, KFULL, C))
@@ -329,6 +402,7 @@ class SO2Attention(nn.Module):
             radial_channels=None
             if self.use_m_share_rad
             else (1024, self.edge_channels, self.edge_channels),
+            weight_init=self.weight_init,
         )(msg, x_edge)
 
         alpha_feat = extra[..., :n_alpha]
@@ -339,7 +413,10 @@ class SO2Attention(nn.Module):
         else:
             msg = S2Act()(msg)
 
-        msg = SO2Conv(m_output_channels=self.num_heads * self.value_channels)(msg)
+        msg = SO2Conv(
+            m_output_channels=self.num_heads * self.value_channels,
+            weight_init=self.weight_init,
+        )(msg)
 
         # attention weights (transformer_block.py:330-343)
         a = alpha_feat.reshape(
@@ -369,7 +446,7 @@ class SO2Attention(nn.Module):
         # rotate back, aggregate at receiver
         v = jnp.einsum("...jk,...kc->...jc", D_inv, v)  # [B,N,N,9,HV]
         agg = G.masked_segment_sum(v, adj)  # [B,N,9,HV]
-        return SO3Linear(self.output_channels)(agg)
+        return SO3Linear(self.output_channels, weight_init=self.weight_init)(agg)
 
 
 class FeedForward(nn.Module):
@@ -382,37 +459,39 @@ class FeedForward(nn.Module):
     use_gate_act: bool = False
     use_grid_mlp: bool = False
     use_sep_s2_act: bool = True
+    weight_init: str = "normal"
 
     @nn.compact
     def __call__(self, x):
+        wi = self.weight_init
         if self.use_grid_mlp:
             # point-wise 3-layer MLP on the S2 grid (:424-448, 489-515)
             gating = None
             if self.use_sep_s2_act:
-                gating = jax.nn.silu(TorchLinear(self.hidden_channels)(x[..., 0, :]))
-            h = SO3Linear(self.hidden_channels)(x)
+                gating = jax.nn.silu(_linear(self.hidden_channels, wi)(x[..., 0, :]))
+            h = SO3Linear(self.hidden_channels, weight_init=wi)(x)
             to_g, from_g = SE.s2_grid_mats(LMAX, LMAX)
             hg = jnp.einsum("gi,...ic->...gc", jnp.asarray(to_g, h.dtype), h)
-            hg = TorchLinear(self.hidden_channels, use_bias=False)(hg)
+            hg = _linear(self.hidden_channels, wi, use_bias=False)(hg)
             hg = jax.nn.silu(hg)
-            hg = TorchLinear(self.hidden_channels, use_bias=False)(hg)
+            hg = _linear(self.hidden_channels, wi, use_bias=False)(hg)
             hg = jax.nn.silu(hg)
-            hg = TorchLinear(self.hidden_channels, use_bias=False)(hg)
+            hg = _linear(self.hidden_channels, wi, use_bias=False)(hg)
             h = jnp.einsum("ig,...gc->...ic", jnp.asarray(from_g, h.dtype), hg)
             if self.use_sep_s2_act:
                 h = jnp.concatenate([gating[..., None, :], h[..., 1:, :]], axis=-2)
         elif self.use_gate_act:
-            gating = TorchLinear(LMAX * self.hidden_channels)(x[..., 0, :])
-            h = SO3Linear(self.hidden_channels)(x)
+            gating = _linear(LMAX * self.hidden_channels, wi)(x[..., 0, :])
+            h = SO3Linear(self.hidden_channels, weight_init=wi)(x)
             h = GateActivationSH(mmax=LMAX)(gating, h)
         elif self.use_sep_s2_act:
-            gating = TorchLinear(self.hidden_channels)(x[..., 0, :])
-            h = SO3Linear(self.hidden_channels)(x)
+            gating = _linear(self.hidden_channels, wi)(x[..., 0, :])
+            h = SO3Linear(self.hidden_channels, weight_init=wi)(x)
             h = SeparableS2Act(mmax=LMAX)(gating, h)
         else:
-            h = SO3Linear(self.hidden_channels)(x)
+            h = SO3Linear(self.hidden_channels, weight_init=wi)(x)
             h = S2Act(mmax=LMAX)(h)
-        return SO3Linear(self.output_channels)(h)
+        return SO3Linear(self.output_channels, weight_init=wi)(h)
 
 
 class _TransBlock(nn.Module):
@@ -432,9 +511,12 @@ class _TransBlock(nn.Module):
     use_sep_s2_act: bool = True
     use_m_share_rad: bool = False
     use_attn_renorm: bool = True
+    use_atom_edge_embedding: bool = True
+    max_num_elements: int = 90
+    weight_init: str = "normal"
 
     @nn.compact
-    def __call__(self, x, x_edge, D, D_inv, adj, train: bool = False):
+    def __call__(self, x, x_edge, D, D_inv, adj, charges, train: bool = False):
         res = x
         h = RMSNormSH(self.sphere_channels)(x)
         h = SO2Attention(
@@ -450,7 +532,10 @@ class _TransBlock(nn.Module):
             use_sep_s2_act=self.use_sep_s2_act,
             use_m_share_rad=self.use_m_share_rad,
             use_attn_renorm=self.use_attn_renorm,
-        )(h, x_edge, D, D_inv, adj, train=train)
+            use_atom_edge_embedding=self.use_atom_edge_embedding,
+            max_num_elements=self.max_num_elements,
+            weight_init=self.weight_init,
+        )(h, x_edge, D, D_inv, adj, charges, train=train)
         if self.drop_path > 0.0 and train:
             keep = 1.0 - self.drop_path
             rng = self.make_rng("dropout")
@@ -467,6 +552,7 @@ class _TransBlock(nn.Module):
             use_gate_act=self.use_gate_act,
             use_grid_mlp=self.use_grid_mlp,
             use_sep_s2_act=self.use_sep_s2_act,
+            weight_init=self.weight_init,
         )(h)
         if self.drop_path > 0.0 and train:
             keep = 1.0 - self.drop_path
@@ -501,6 +587,12 @@ class EquiformerV2(nn.Module):
     use_sep_s2_act: bool = True
     use_m_share_rad: bool = False
     use_attn_renorm: bool = True
+    # per-block atom-edge embeddings (nbody config.yaml:70-71: True/False)
+    use_atom_edge_embedding: bool = True
+    share_atom_edge_embedding: bool = False
+    # 'normal' (nbody default, equiformer_v2_nbody.py:142): N(0,1/sqrt(fan))
+    # Linear/SO3Linear weights + zero biases; 'uniform' keeps torch defaults
+    weight_init: str = "normal"
     # The reference lifts velocities with a full nn.Linear(3, 3C) + bias
     # (equiformer_v2_nbody.py:209,500-523) which is NOT rotation equivariant.
     # False reproduces that; True uses a per-channel scalar gate (equivariant)
@@ -528,24 +620,39 @@ class EquiformerV2(nn.Module):
         ridx = jnp.asarray(SE.restricted_indices(LMAX, self.mmax))
         D = Dfull[..., ridx, :]  # rotate + restrict [.,7,9]
         D_inv = jnp.swapaxes(Dfull, -1, -2)[..., :, ridx]  # [.,9,7]
+        # mmax-restriction rescale on the rotate-back: output rows of degree
+        # l > mmax are scaled by sqrt((2l+1)/(2*mmax+1)) to compensate the
+        # dropped m components (so3.py:159-185, applied in rotate_inv :499-506)
+        l_of_full = np.asarray(SE.l_expand_index(LMAX))
+        row_scale = np.where(
+            l_of_full > self.mmax,
+            np.sqrt((2.0 * l_of_full + 1.0) / (2.0 * self.mmax + 1.0)),
+            1.0,
+        )
+        D_inv = D_inv * jnp.asarray(row_scale, dtype)[:, None]
 
         # node init: charges -> l=0, velocity -> l=1
         charges = jnp.clip(scene.mass[..., 0].astype(jnp.int32), 0, self.max_num_elements - 1)
+        # torch nn.Embedding default init is N(0, 1) (equiformer_v2_nbody.py:204)
         sphere_emb = nn.Embed(
-            self.max_num_elements, C, dtype=dtype, param_dtype=jnp.float32
+            self.max_num_elements,
+            C,
+            embedding_init=nn.initializers.normal(1.0),
+            dtype=dtype,
+            param_dtype=jnp.float32,
         )(charges)
         if self.equivariant_embedding:
             gate = self.param("vel_gate", nn.initializers.ones, (C,))
             vel_emb = scene.vel[..., jnp.asarray([1, 2, 0])][..., None] * gate.astype(dtype)
         else:
-            vel_emb = TorchLinear(3 * C)(scene.vel).reshape(B, N, 3, C)
+            vel_emb = _linear(3 * C, self.weight_init)(scene.vel).reshape(B, N, 3, C)
         x = jnp.zeros((B, N, KFULL, C), dtype)
         x = x.at[..., 0, :].add(sphere_emb)
         x = x.at[..., 1:4, :].add(vel_emb)
 
         # distance expansion (equiformer_v2_nbody.py:218-235)
         if self.distance_function == "projection":
-            x_edge = TorchLinear(1024)(dist)
+            x_edge = _linear(1024, self.weight_init)(dist)
         elif self.distance_function == "gaussian":
             # GaussianSmearing(0, cutoff, 1024, basis_width_scalar=2)
             offsets = jnp.linspace(0.0, self.max_radius, 1024, dtype=dtype)
@@ -554,16 +661,77 @@ class EquiformerV2(nn.Module):
             x_edge = jnp.exp(coeff * (dist - offsets) ** 2)
         elif self.distance_function == "exponential_decay":
             scale = self.param("decay_scale", nn.initializers.ones, ())
-            x_edge = TorchLinear(1024)(jnp.exp(-scale.astype(dtype) * jnp.abs(dist)))
+            x_edge = _linear(1024, self.weight_init)(
+                jnp.exp(-scale.astype(dtype) * jnp.abs(dist))
+            )
         else:
             raise ValueError(self.distance_function)
 
+        # shared atom-edge embeddings concatenated once at the top when
+        # share_atom_edge_embedding (equiformer_v2_nbody.py:240-252,531-540);
+        # otherwise each block owns its own pair (block_use_atom_edge_embedding)
+        blocks_use_atom_edge = (
+            self.use_atom_edge_embedding and not self.share_atom_edge_embedding
+        )
+        if self.use_atom_edge_embedding and self.share_atom_edge_embedding:
+            src = nn.Embed(
+                self.max_num_elements,
+                self.edge_channels,
+                embedding_init=_uniform(0.001),
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="shared_source_embedding",
+            )(charges)
+            tgt = nn.Embed(
+                self.max_num_elements,
+                self.edge_channels,
+                embedding_init=_uniform(0.001),
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="shared_target_embedding",
+            )(charges)
+            x_edge = jnp.concatenate(
+                [
+                    x_edge,
+                    jnp.broadcast_to(src[:, None, :, :], (B, N, N, self.edge_channels)),
+                    jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, self.edge_channels)),
+                ],
+                axis=-1,
+            )
+
         # edge-degree embedding (input_block.py): radial -> m0 coeffs,
-        # rotate back, mean^sum at receiver / AVG_DEGREE
+        # rotate back, mean^sum at receiver / AVG_DEGREE; it owns its own
+        # atom-edge embedding pair (input_block.py:60-73)
+        x_edge_deg = x_edge
+        if blocks_use_atom_edge:
+            src = nn.Embed(
+                self.max_num_elements,
+                self.edge_channels,
+                embedding_init=_uniform(0.001),
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="edge_degree_source_embedding",
+            )(charges)
+            tgt = nn.Embed(
+                self.max_num_elements,
+                self.edge_channels,
+                embedding_init=_uniform(0.001),
+                dtype=dtype,
+                param_dtype=jnp.float32,
+                name="edge_degree_target_embedding",
+            )(charges)
+            x_edge_deg = jnp.concatenate(
+                [
+                    x_edge,
+                    jnp.broadcast_to(src[:, None, :, :], (B, N, N, self.edge_channels)),
+                    jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, self.edge_channels)),
+                ],
+                axis=-1,
+            )
         m0_idx, _ = SE.m_order_indices(LMAX, self.mmax)
         ed = RadialFunction(
             [1024, self.edge_channels, self.edge_channels, (LMAX + 1) * C]
-        )(x_edge)
+        )(x_edge_deg)
         ed = ed.reshape(B, N, N, LMAX + 1, C)
         ed_restricted = jnp.zeros((B, N, N, len(ridx), C), dtype)
         ed_restricted = ed_restricted.at[..., jnp.asarray(m0_idx), :].set(ed)
@@ -575,7 +743,7 @@ class EquiformerV2(nn.Module):
             _TransBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True, "dropout": True},
-            in_axes=(nn.broadcast,) * 5,
+            in_axes=(nn.broadcast,) * 6,
             length=self.num_layers,
         )(
             sphere_channels=C,
@@ -592,8 +760,11 @@ class EquiformerV2(nn.Module):
             use_sep_s2_act=self.use_sep_s2_act,
             use_m_share_rad=self.use_m_share_rad,
             use_attn_renorm=self.use_attn_renorm,
+            use_atom_edge_embedding=blocks_use_atom_edge,
+            max_num_elements=self.max_num_elements,
+            weight_init=self.weight_init,
         )
-        x, _ = block(x, x_edge, D, D_inv, adj, train)
+        x, _ = block(x, x_edge, D, D_inv, adj, charges, train)
 
         x = RMSNormSH(C)(x)
 
@@ -612,7 +783,10 @@ class EquiformerV2(nn.Module):
             use_sep_s2_act=self.use_sep_s2_act,
             use_m_share_rad=self.use_m_share_rad,
             use_attn_renorm=self.use_attn_renorm,
-        )(x, x_edge, D, D_inv, adj, train=train)
+            use_atom_edge_embedding=blocks_use_atom_edge,
+            max_num_elements=self.max_num_elements,
+            weight_init=self.weight_init,
+        )(x, x_edge, D, D_inv, adj, charges, train=train)
 
         # l=1 coefficients are (y, z, x) -> physical (x, y, z)
         vecs = pred[..., 1:4, :]  # [B,N,3,2]

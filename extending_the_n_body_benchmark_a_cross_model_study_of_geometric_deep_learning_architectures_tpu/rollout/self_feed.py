@@ -40,8 +40,9 @@ def make_rollout_fn(
     target: str = "pos_dt+vel",
     explosion_threshold: float = EXPLOSION_THRESHOLD,
     matmul_precision: Optional[str] = None,
+    train_mode: bool = False,
 ):
-    """Build a jitted rollout: ``fn(params, scene0) -> (loc, vel, survived)``.
+    """Build a jitted rollout: ``fn(params, scene0[, rng]) -> (loc, vel, survived)``.
 
     Args:
       model: flax module with ``apply(params, scene, mask) -> [B,N,3k]``.
@@ -54,6 +55,17 @@ def make_rollout_fn(
         multiplication; over ~1000 closed-loop steps that noise compounds —
         the reference rolls out in f64 (``config.yaml:177``), so
         precision-sensitive models (EquiformerV2) need true-f32 here.
+      train_mode: roll out with the model in *training* mode (dropout etc.
+        active), drawing fresh dropout noise every step.  This reproduces the
+        reference, whose ``run_inference`` uses ``@torch.no_grad()`` but never
+        calls ``model.eval()`` — the trainer leaves the model in ``.train()``
+        from the preceding epoch (``trainer.py:373`` sets train, the only
+        ``eval()`` is ``:410`` in validation which runs *after* self-feed at
+        ``:1037`` vs ``:1058``).  For models with live dropout (EquiformerV2:
+        alpha_drop 0.1 + drop_path 0.05; GraphTransformer: encoder dropout
+        0.1) the reference's published rollouts are therefore stochastic;
+        deterministic rollout is a behavioral deviation.  When True the
+        returned fn takes an extra ``rng`` argument.
     Returns:
       ``loc, vel`` of shape ``[B, T, N, 3]`` (frame 0 = initial state) and
       ``survived [B]`` int32 per-sim surviving step counts.
@@ -61,25 +73,34 @@ def make_rollout_fn(
     pos_dt = target.startswith("pos_dt")
 
     @jax.jit
-    def rollout(params, scene0: Scene):
+    def rollout(params, scene0: Scene, rng=None):
         if matmul_precision:
             ctx = jax.default_matmul_precision(matmul_precision)
         else:
             ctx = contextlib.nullcontext()
         with ctx:
-            return _rollout_body(params, scene0)
+            return _rollout_body(params, scene0, rng)
 
-    def _rollout_body(params, scene0: Scene):
+    def _rollout_body(params, scene0: Scene, rng):
         n = scene0.pos.shape[1]
         k = num_neighbors if (num_neighbors and 0 < num_neighbors < n) else n - 1
         mass = scene0.mass
         force0 = jnp.zeros_like(scene0.pos)
+        if train_mode and rng is None:
+            rng = jax.random.PRNGKey(0)
 
         def step(carry, _):
-            pos, vel, frozen = carry
+            if train_mode:
+                pos, vel, frozen, key = carry
+                key, sub = jax.random.split(key)
+            else:
+                pos, vel, frozen = carry
             mask = G.knn_mask(pos, k)
             scene = Scene(pos=pos, vel=vel, force=force0, mass=mass)
-            out = model.apply(params, scene, mask)
+            if train_mode:
+                out = model.apply(params, scene, mask, True, rngs={"dropout": sub})
+            else:
+                out = model.apply(params, scene, mask)
             new_pos = pos + out[..., :3] if pos_dt else out[..., :3]
             new_vel = out[..., 3:6]
             bad = jnp.any(
@@ -92,11 +113,21 @@ def make_rollout_fn(
             keep = frozen[:, None, None]
             new_pos = jnp.where(keep, pos, new_pos)
             new_vel = jnp.where(keep, vel, new_vel)
-            return (new_pos, new_vel, frozen), (new_pos, new_vel, frozen)
+            new_carry = (
+                (new_pos, new_vel, frozen, key)
+                if train_mode
+                else (new_pos, new_vel, frozen)
+            )
+            return new_carry, (new_pos, new_vel, frozen)
 
         frozen0 = jnp.zeros(scene0.pos.shape[0], dtype=bool)
+        carry0 = (
+            (scene0.pos, scene0.vel, frozen0, rng)
+            if train_mode
+            else (scene0.pos, scene0.vel, frozen0)
+        )
         _, (locs, vels, frozens) = jax.lax.scan(
-            step, (scene0.pos, scene0.vel, frozen0), None, length=num_steps - 1
+            step, carry0, None, length=num_steps - 1
         )
         loc = jnp.concatenate([scene0.pos[None], locs], axis=0).swapaxes(0, 1)
         vel = jnp.concatenate([scene0.vel[None], vels], axis=0).swapaxes(0, 1)
@@ -121,6 +152,8 @@ def run_self_feed(
     batch_size: Optional[int] = None,
     mesh=None,
     matmul_precision: Optional[str] = None,
+    train_mode: bool = False,
+    rng=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray, int]:
     """Full checkpoint evaluation rollout against fresh ground truth.
 
@@ -144,10 +177,16 @@ def run_self_feed(
         num_neighbors=num_neighbors,
         target=dataset.target,
         matmul_precision=matmul_precision,
+        train_mode=train_mode,
     )
     if mesh is not None and scene0.pos.shape[0] % mesh.devices.size == 0:
         from ..parallel.sharded import shard_scene
 
         scene0 = shard_scene(scene0, mesh)
-    loc_pred, vel_pred, survived = fn(params, scene0)
+    if train_mode:
+        loc_pred, vel_pred, survived = fn(
+            params, scene0, rng if rng is not None else jax.random.PRNGKey(0)
+        )
+    else:
+        loc_pred, vel_pred, survived = fn(params, scene0)
     return loc_gt, vel_gt, loc_pred, vel_pred, int(survived.min())

@@ -469,6 +469,11 @@ class Trainer:
             num_neighbors=None,  # rollout is fully connected (infer_self_feed.py:58)
             mesh=self.mesh,  # shard the sim batch when data-parallel
             matmul_precision=getattr(self.args, "self_feed_matmul_precision", None),
+            # reference parity: rollout runs without model.eval() (see
+            # TrainerConfig.self_feed_train_mode) — stochastic when the
+            # model has live dropout
+            train_mode=getattr(self.args, "self_feed_train_mode", True),
+            rng=jax.random.PRNGKey(self.step_count),
         )
         per_macro, macro_combined, _, _ = artifacts.evaluate_rollout(
             save_dir,

@@ -95,6 +95,12 @@ class TrainerConfig(BaseModel):
     # bf16 multiplication; the reference trains/rolls out in f64):
     matmul_precision: Optional[str] = None  # global, e.g. "float32"
     self_feed_matmul_precision: Optional[str] = None  # rollout trace only
+    # Roll out with dropout active (fresh noise each step).  Reference
+    # parity: its run_inference never calls model.eval(), so self-feed runs
+    # in .train() mode (reference trainer.py:373 vs :410; self-feed at :1037
+    # precedes the only eval() in validation :1058) — stochastic for models
+    # with live dropout (equiformer_v2, graph_transformer).
+    self_feed_train_mode: bool = True
     profile_epochs: Optional[int] = None  # jax.profiler trace of first N epochs
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
 

@@ -100,3 +100,50 @@ def test_rollout_matmul_precision_and_fn_cache():
         model, 10, num_neighbors=None, target="pos_dt+vel", matmul_precision="float32"
     )
     assert f3 is not f1
+
+
+class DropoutDrift(nn.Module):
+    """Drift model with dropout on the predicted delta: stochastic only in
+    train mode (the reference's self-feed never calls model.eval(), so
+    models with live dropout roll out stochastically — trainer.py:373/:410)."""
+
+    @nn.compact
+    def __call__(self, scene, mask, train=False):
+        d = jnp.full_like(scene.pos, 0.1)
+        d = nn.Dropout(rate=0.5, deterministic=not train)(d)
+        return jnp.concatenate([d, scene.vel], axis=-1)
+
+    def get_model_size(self):
+        return 1
+
+
+def test_train_mode_rollout_is_stochastic_and_reproducible():
+    model = DropoutDrift()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(1), s0, None)
+
+    det = make_rollout_fn(model, num_steps=8)
+    fn = make_rollout_fn(model, num_steps=8, train_mode=True)
+    loc_det, _, _ = det(params, s0)
+    loc_a, _, sa = fn(params, s0, jax.random.PRNGKey(0))
+    loc_b, _, _ = fn(params, s0, jax.random.PRNGKey(7))
+    loc_a2, _, _ = fn(params, s0, jax.random.PRNGKey(0))
+
+    # dropout noise changes the trajectory vs deterministic rollout ...
+    assert not np.allclose(np.asarray(loc_det), np.asarray(loc_a))
+    # ... keys give distinct draws, the same key reproduces exactly
+    assert not np.allclose(np.asarray(loc_a), np.asarray(loc_b))
+    np.testing.assert_array_equal(np.asarray(loc_a), np.asarray(loc_a2))
+    assert np.all(np.asarray(sa) == 7)
+
+
+def test_train_mode_rollout_no_dropout_matches_deterministic():
+    # models without dropout are unaffected by train-mode rollout
+    model = ConstantDrift()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(1), s0, None)
+    det = make_rollout_fn(model, num_steps=6)
+    trn = make_rollout_fn(model, num_steps=6, train_mode=True)
+    loc_d, _, _ = det(params, s0)
+    loc_t, _, _ = trn(params, s0, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(np.asarray(loc_d), np.asarray(loc_t), rtol=1e-6)
