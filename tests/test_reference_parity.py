@@ -1,0 +1,285 @@
+"""Numerical parity against the reference implementation (when mounted).
+
+These tests import the reference's own torch modules from ``/root/reference``
+(read-only) and compare them numerically against our JAX implementations.
+They are skipped when the reference tree is absent (e.g. CI of the published
+package), so the suite stays standalone.
+
+The reference's heavy deps (e3nn, torch_scatter, torch_geometric) are not in
+this image; the bits we exercise only need torch + two small e3nn angle
+helpers, which we provide as a stub implementing the published e3nn
+convention (alpha = atan2(x, z), beta = acos(y), R = Ry(a) Rx(b) Ry(g)).
+"""
+
+import importlib.util
+import math
+import os
+import sys
+import types
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/models/equiformer_v2/architecture"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference tree not mounted"
+)
+
+torch = pytest.importorskip("torch")
+
+
+def _e3nn_stub():
+    """Minimal e3nn.o3 with the two helpers so3.py needs
+    (e3nn convention: y is the pole; R = Ry(alpha) @ Rx(beta) @ Ry(gamma))."""
+
+    def matrix_y(a):
+        c, s, z, o = torch.cos(a), torch.sin(a), torch.zeros_like(a), torch.ones_like(a)
+        return torch.stack(
+            [
+                torch.stack([c, z, s], -1),
+                torch.stack([z, o, z], -1),
+                torch.stack([-s, z, c], -1),
+            ],
+            -2,
+        )
+
+    def matrix_x(a):
+        c, s, z, o = torch.cos(a), torch.sin(a), torch.zeros_like(a), torch.ones_like(a)
+        return torch.stack(
+            [
+                torch.stack([o, z, z], -1),
+                torch.stack([z, c, -s], -1),
+                torch.stack([z, s, c], -1),
+            ],
+            -2,
+        )
+
+    o3 = types.ModuleType("e3nn.o3")
+    o3.angles_to_matrix = lambda a, b, g: matrix_y(a) @ matrix_x(b) @ matrix_y(g)
+
+    def xyz_to_angles(xyz):
+        xyz = torch.nn.functional.normalize(xyz, p=2, dim=-1).clamp(-1, 1)
+        beta = torch.acos(xyz[..., 1])
+        alpha = torch.atan2(xyz[..., 0], xyz[..., 2])
+        return alpha, beta
+
+    o3.xyz_to_angles = xyz_to_angles
+    e3nn = types.ModuleType("e3nn")
+    e3nn.o3 = o3
+    return e3nn, o3
+
+
+def _load_ref():
+    """Import the reference architecture modules as a synthetic package."""
+    if "refarch.so3" in sys.modules:
+        return (
+            sys.modules["refarch.so3"],
+            sys.modules["refarch.so2_ops"],
+            sys.modules["refarch.edge_rot_mat"],
+        )
+    e3nn, o3 = _e3nn_stub()
+    sys.modules.setdefault("e3nn", e3nn)
+    sys.modules.setdefault("e3nn.o3", o3)
+    pkg = types.ModuleType("refarch")
+    pkg.__path__ = [REF]
+    sys.modules["refarch"] = pkg
+    mods = {}
+    for name in ("wigner", "radial_function", "so3", "so2_ops", "edge_rot_mat"):
+        spec = importlib.util.spec_from_file_location(
+            f"refarch.{name}", os.path.join(REF, f"{name}.py")
+        )
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"refarch.{name}"] = mod
+        spec.loader.exec_module(mod)
+        mods[name] = mod
+    return mods["so3"], mods["so2_ops"], mods["edge_rot_mat"]
+
+
+def _our_D(edge_vec, lmax=2, mmax=1):
+    """Our model's (D, D_inv) exactly as built in
+    ``models/equiformer_v2.py:__call__`` (alignment, restriction, rescale)."""
+    import jax.numpy as jnp
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops import (
+        so3_edge as SE,
+    )
+
+    R = SE.edge_align_rotation(jnp.asarray(edge_vec, jnp.float64))
+    Dfull = SE.wigner_full(R)
+    ridx = np.asarray(SE.restricted_indices(lmax, mmax))
+    D = np.asarray(Dfull)[..., ridx, :]
+    D_inv = np.swapaxes(np.asarray(Dfull), -1, -2)[..., :, ridx]
+    l_of = np.asarray(SE.l_expand_index(lmax))
+    scale = np.where(
+        l_of > mmax, np.sqrt((2.0 * l_of + 1.0) / (2.0 * mmax + 1.0)), 1.0
+    )
+    D_inv = D_inv * scale[:, None]
+    return D, D_inv
+
+
+def _random_rotations(n, seed):
+    g = torch.Generator().manual_seed(seed)
+    A = torch.randn(n, 3, 3, generator=g, dtype=torch.float64)
+    Q, _ = torch.linalg.qr(A)
+    return Q * torch.det(Q)[:, None, None].sign()
+
+
+def _intertwiner():
+    """Fixed orthogonal B (block-diag per l) with
+    ``ours(R) = B @ ref(R) @ B.T`` for all rotations R.
+
+    The two engines use different (both valid) real-SH bases: the
+    reference's Jd-based ``wigner_D`` has l=1 block equal to R itself in
+    (x, y, z) order, ours is the cyclic (y, z, x) conjugate.  B is computed
+    by group-averaging the candidate intertwiner (Schur: unique up to sign
+    for irreps) and cached."""
+    so3, _, _ = _load_ref()
+    import jax.numpy as jnp
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops import (
+        so3_edge as SE,
+    )
+
+    Q = _random_rotations(12, 11)
+    rot = so3.SO3_Rotation(2).double()
+    rot.set_wigner(Q)
+    ref = rot.wigner.numpy()
+    ours = np.asarray(SE.wigner_full(jnp.asarray(Q.numpy(), jnp.float64)))
+
+    B = np.zeros((9, 9))
+    for lo, hi in ((0, 1), (1, 4), (4, 9)):
+        # solve ours(R) X = X ref(R) for all R: X spans the null space of
+        # the stacked commutation operator (1-dim by Schur's lemma)
+        d = hi - lo
+        ops = [
+            np.kron(np.eye(d), ours[e, lo:hi, lo:hi])
+            - np.kron(ref[e, lo:hi, lo:hi].T, np.eye(d))
+            for e in range(len(Q))
+        ]
+        _, s, vt = np.linalg.svd(np.concatenate(ops, axis=0))
+        assert s[-1] < 1e-10, s[-2:]
+        assert d == 1 or s[-2] > 1e-6, s[-2:]  # exactly 1-dim (Schur)
+        X = vt[-1].reshape(d, d, order="F")  # unvec column-major
+        # normalize to orthogonal (intertwiner of orthogonal irreps)
+        X = X * math.sqrt(d) / np.linalg.norm(X)
+        B[lo:hi, lo:hi] = X
+    return B
+
+
+def test_wigner_engines_agree_up_to_fixed_basis():
+    """``SE.wigner_full`` and the reference's Jd-based ``wigner_D``
+    (``wigner.py:16-40`` via ``so3.py:509-531``) realize the same rotations
+    in different fixed real-SH bases: a single orthogonal block-diagonal B
+    conjugates one into the other for every rotation.  (A global fixed basis
+    change reparametrizes the network without changing its function space.)"""
+    so3, _, _ = _load_ref()
+    import jax.numpy as jnp
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops import (
+        so3_edge as SE,
+    )
+
+    B = _intertwiner()
+    np.testing.assert_allclose(B @ B.T, np.eye(9), atol=1e-10)
+
+    Q = _random_rotations(8, 21)  # fresh rotations, not used to fit B
+    rot = so3.SO3_Rotation(2).double()
+    rot.set_wigner(Q)
+    ref = rot.wigner.numpy()
+    ours = np.asarray(SE.wigner_full(jnp.asarray(Q.numpy(), jnp.float64)))
+    np.testing.assert_allclose(ours, np.einsum("ij,ejk,lk->eil", B, ref, B), atol=1e-8)
+
+
+def test_rotate_restrict_rotateback_projector_matches_reference():
+    """The composite map rotate -> keep m<=mmax -> rotate back (with the
+    reference's l>mmax rescale, ``so3.py:159-185,499-506``) is independent
+    of the roll about the edge (which the reference randomizes,
+    ``edge_rot_mat.py:22-43``).  In the common basis (conjugating by the
+    fixed intertwiner B) the two implementations must produce the same
+    projector for the same physical edge vectors."""
+    so3, _, erm = _load_ref()
+    torch.manual_seed(0)
+    E, lmax, mmax = 32, 2, 1
+    v = torch.randn(E, 3, dtype=torch.float64)
+
+    rot = so3.SO3_Rotation(lmax).double()
+    rot.set_wigner(erm.init_edge_rot_mat(v))
+    eye = torch.eye(9, dtype=torch.float64).unsqueeze(0).repeat(E, 1, 1)
+    restricted = rot.rotate(eye, lmax, mmax)  # [E, 7, 9]
+    proj_ref = rot.rotate_inv(restricted, lmax, mmax).numpy()  # [E, 9, 9]
+
+    D, D_inv = _our_D(v.numpy(), lmax, mmax)
+    proj_ours = np.einsum("ejk,ekl->ejl", D_inv, D)
+    B = _intertwiner()
+    proj_ref_in_ours = np.einsum("ij,ejk,lk->eil", B, proj_ref, B)
+    np.testing.assert_allclose(proj_ours, proj_ref_in_ours, atol=1e-8)
+
+
+def _copy_so2_weights(ref_conv, params, mmax=1):
+    """Map reference SO2_Convolution weights into our SO2Conv flax params."""
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params, sep="/")
+    new = dict(flat)
+
+    def put(key, val):
+        tgt = [k for k in new if k == key]
+        assert len(tgt) == 1, (key, sorted(new))
+        assert new[tgt[0]].shape == val.shape, (key, new[tgt[0]].shape, val.shape)
+        new[tgt[0]] = val
+
+    # m=0: torch Linear weight [out, in] -> flax kernel [in, out]
+    put("TorchLinear_0/Dense_0/kernel", ref_conv.fc_m0.weight.detach().numpy().T)
+    put("TorchLinear_0/Dense_0/bias", ref_conv.fc_m0.bias.detach().numpy())
+    for m in range(1, mmax + 1):
+        # The reference orders each m block [+m rows; -m rows]
+        # (``so3.py:118-138`` complex_idx: real part = m_complex==+m) while
+        # ours is [-m; +m]; the two parametrizations coincide after negating
+        # the imaginary half of the weight (complex conjugation) — a weight
+        # bijection, not a functional difference.
+        w = ref_conv.so2_m_conv[m - 1].fc.weight.detach().numpy()
+        half = w.shape[0] // 2
+        w = np.concatenate([w[:half], -w[half:]], axis=0)
+        put(f"Dense_{m - 1}/kernel", w.T)
+    return flax.traverse_util.unflatten_dict(
+        {tuple(k.split("/")): v for k, v in new.items()}
+    )
+
+
+def test_so2_convolution_matches_reference():
+    """Internal-weight SO2 convolution on identical inputs (same frame, no
+    rotation involved): copied weights must reproduce the reference outputs
+    including the complex ±m structure (``so2_ops.py:13-240``)."""
+    so3, so2_ops, _ = _load_ref()
+    torch.manual_seed(2)
+    E, C, C_out, lmax, mmax = 6, 5, 4, 2, 1
+
+    mapping = so3.CoefficientMappingModule([lmax], [mmax])
+    ref = so2_ops.SO2_Convolution(
+        C, C_out, [lmax], [mmax], mapping, internal_weights=True,
+        edge_channels_list=None, extra_m0_output_channels=None,
+    ).double()
+
+    # reference input: SO3_Embedding restricted to mmax, l-primary layout
+    x_np = np.random.default_rng(3).normal(size=(E, 7, C))
+    emb = so3.SO3_Embedding(E, [lmax], C, "cpu", torch.float64)
+    emb.set_embedding(torch.tensor(x_np, dtype=torch.float64))
+    emb.set_lmax_mmax([lmax], [mmax])
+    out_ref = ref(emb, torch.zeros(E, 1, dtype=torch.float64)).embedding.detach().numpy()
+
+    import jax
+    import jax.numpy as jnp
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models.equiformer_v2 import (
+        SO2Conv,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ours = SO2Conv(m_output_channels=C_out, mmax=mmax)
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+        params = {"params": _copy_so2_weights(ref, params["params"], mmax)}
+        out = np.asarray(ours.apply(params, jnp.asarray(x_np)))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(out, out_ref, atol=1e-10)
