@@ -283,3 +283,48 @@ def test_so2_convolution_matches_reference():
     finally:
         jax.config.update("jax_enable_x64", False)
     np.testing.assert_allclose(out, out_ref, atol=1e-10)
+
+
+def test_rms_norm_matches_reference():
+    """Degree-balanced component RMS norm with centering: our ``RMSNormSH``
+    vs the reference's ``EquivariantRMSNormArraySphericalHarmonicsV2``
+    (``layer_norm.py:327-445``) with copied affine parameters."""
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "refarch.layer_norm", os.path.join(REF, "layer_norm.py")
+    )
+    ln = importlib.util.module_from_spec(spec)
+    sys.modules["refarch.layer_norm"] = ln
+    spec.loader.exec_module(ln)
+
+    torch.manual_seed(4)
+    N, C, lmax = 7, 6, 2
+    ref = ln.EquivariantRMSNormArraySphericalHarmonicsV2(lmax, C).double()
+    with torch.no_grad():
+        ref.affine_weight.copy_(torch.randn(lmax + 1, C))
+        ref.affine_bias.copy_(torch.randn(C))
+    x = torch.randn(N, 9, C, dtype=torch.float64)
+    out_ref = ref(x).detach().numpy()
+
+    import jax
+    import jax.numpy as jnp
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models.equiformer_v2 import (
+        RMSNormSH,
+    )
+
+    jax.config.update("jax_enable_x64", True)
+    try:
+        ours = RMSNormSH(C)
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(x.numpy()))
+        params = {
+            "params": {
+                "affine_weight": jnp.asarray(ref.affine_weight.detach().numpy()),
+                "affine_bias": jnp.asarray(ref.affine_bias.detach().numpy()),
+            }
+        }
+        out = np.asarray(ours.apply(params, jnp.asarray(x.numpy())))
+    finally:
+        jax.config.update("jax_enable_x64", False)
+    np.testing.assert_allclose(out, out_ref, atol=1e-7)
