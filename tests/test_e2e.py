@@ -136,3 +136,28 @@ def test_checkpoint_resume(tmp_run_dir):
         np.asarray(list(trainer2.params["params"].keys())),
     ):
         assert a == b
+
+
+def test_self_feed_cli_multi_draw(tmp_run_dir):
+    args, cfg = make_args(tmp_run_dir, test_macros_every=99)
+    trainer = create_trainer_from_args(args, resolved_config=cfg)
+    trainer.train()
+    run = trainer.save_dir_path
+
+    import self_feed as self_feed_cli
+
+    self_feed_cli.main(
+        ["--run_dir", run, "--steps", "20", "--batch_size", "4", "--draws", "2"]
+    )
+    out = os.path.join(run, "generated_trajectories")
+    with open(os.path.join(out, "self_feed_draws.json")) as f:
+        d = json.load(f)
+    assert len(d["draws"]) == 2
+    assert d["best_combined_pvalue"] >= d["median_combined_pvalue"]
+    # per-draw artifact dirs hold the six scored macro JSONs
+    assert os.path.exists(
+        os.path.join(out, "draw_00", "sticking_distributions.json")
+    )
+    assert os.path.exists(
+        os.path.join(out, "draw_01", "collision_distributions.json")
+    )
