@@ -40,6 +40,12 @@ def main(argv=None):
         default="auto",
         help="rollout with live dropout (auto: the run's self_feed_train_mode)",
     )
+    p.add_argument(
+        "--matmul_precision",
+        default=None,
+        help="jax matmul precision for the rollout trace (e.g. float32); "
+        "TPU default runs f32 matmuls as bf16 MXU passes",
+    )
     args = p.parse_args(argv)
 
     from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.metrics import (
@@ -73,6 +79,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             train_mode=train_mode,
             rng=jax.random.PRNGKey(args.seed + i),
+            matmul_precision=args.matmul_precision,
         )
         draw_out = out if args.draws <= 1 else os.path.join(out, f"draw_{i:02d}")
         per, combined, _, _ = artifacts.evaluate_rollout(
