@@ -35,9 +35,21 @@ SCORED_MACROS = [
 ENERGY_KEYS = ["energy_total", "energy_potential", "energy_kinetic"]
 
 
-def load_checkpoint_pvalues(ckpt_dir: str) -> Tuple[Dict[str, float], float]:
-    """Per-macro + energy p-values and their Fisher combination for one
-    checkpoint dir (``utils/hpo_metrics.py:61-105`` semantics)."""
+def load_checkpoint_pvalues(
+    ckpt_dir: str, include_energy: bool = True
+) -> Tuple[Dict[str, float], float]:
+    """Per-macro (+ optionally energy) p-values and their Fisher combination
+    for one checkpoint dir.
+
+    ``include_energy=True`` is the HPO-objective semantics
+    (``utils/hpo_metrics.py:61-105``: any energy p > 0 joins the combine —
+    note the perverse edge that a *worse* energy series underflowing to an
+    exact 0.0 is excluded while a clamped 1e-300 is included).
+    ``include_energy=False`` is the published-scoreboard semantics: the
+    reference's ``ks_test/ks_test_model_checkpoints.py:38-49`` combines the
+    six macro files only, and its figures/BASELINE numbers come from that
+    path.  The energy p-values are still reported in ``per`` either way.
+    """
     per: Dict[str, float] = {}
     pvals: List[float] = []
     data = artifacts.read_macro_jsons(ckpt_dir)
@@ -57,7 +69,7 @@ def load_checkpoint_pvalues(ckpt_dir: str) -> Tuple[Dict[str, float], float]:
             for key in ENERGY_KEYS:
                 p = float(m.get("ks_pvalues", {}).get(key, float("nan")))
                 per[key] = p
-                if p == p and p > 0.0:
+                if include_energy and p == p and p > 0.0:
                     pvals.append(p)
         except Exception:
             pass
@@ -100,7 +112,10 @@ def evaluate_run_checkpoints(
     rows = []
     per_macro_series: Dict[str, List[float]] = {}
     for step in steps:
-        per, combined = load_checkpoint_pvalues(os.path.join(ckpt_root, step))
+        # published-scoreboard semantics: macros only (reference ks_test)
+        per, combined = load_checkpoint_pvalues(
+            os.path.join(ckpt_root, step), include_energy=False
+        )
         rows.append({"checkpoint": int(step), "combined_pvalue": combined, **per})
         for k, v in per.items():
             per_macro_series.setdefault(k, []).append(v)
