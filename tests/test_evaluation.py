@@ -210,3 +210,28 @@ def test_time_cutoff_report(tmp_path):
     out = time_cutoff_report([str(run)], hours=1.0, out_json=str(tmp_path / "cut.json"))
     assert out[str(run)] == 20  # checkpoint reached within 1h
     assert (tmp_path / "cut.json").exists()
+
+
+def test_scoring_bases_published_vs_hpo(tmp_path):
+    """Published scoreboard = 6 macros only (ks_test_model_checkpoints.py);
+    HPO objective also folds in any energy p > 0 (hpo_metrics.py) -- a
+    clamped 1e-300 energy term must not crush the published combined."""
+    ck = tmp_path / "checkpoints" / "10"
+    _fake_checkpoint(str(ck), shift=0.0, seed=3)
+    artifacts.write_energy_metrics_json(
+        str(ck),
+        {
+            "simulation": {"total": np.ones(4), "potential": np.ones(4), "kinetic": np.zeros(4)},
+            "self_feed": {"total": np.ones(4), "potential": np.ones(4), "kinetic": np.zeros(4)},
+        },
+        {"energy_total": 1e-300, "energy_potential": 1e-300, "energy_kinetic": 1e-300},
+        1e-300,
+    )
+    per_pub, comb_pub = load_checkpoint_pvalues(str(ck), include_energy=False)
+    per_hpo, comb_hpo = load_checkpoint_pvalues(str(ck), include_energy=True)
+    assert comb_pub > 0.01            # identical rollout pair: macros agree
+    assert comb_hpo <= 1e-100         # energy floor drags the HPO combine
+    assert per_pub["energy_total"] == 1e-300  # still reported
+    summary = evaluate_run_checkpoints(str(tmp_path), plot=False)
+    assert summary["best_combined_pvalue"] == comb_pub
+
