@@ -461,6 +461,16 @@ class Trainer:
         (``trainer.py:929-1010`` + ``668-886``)."""
         print(f"Running self feed (epoch {self.step_count - 1})")
         save_dir = os.path.join(self.save_dir_path, "checkpoints", str(self.step_count))
+        if getattr(self.args, "save_checkpoint_params", False):
+            os.makedirs(save_dir, exist_ok=True)
+            # beyond-reference: persist the evaluated params so any past
+            # checkpoint can be re-rolled later (self_feed.py --draws K
+            # --checkpoint checkpoints/<epoch>/model.ckpt) — the per-
+            # checkpoint combined p is a stochastic draw, so re-rolling the
+            # lottery at the best checkpoints is the honest follow-up
+            self.save_model(
+                filename=os.path.join("checkpoints", str(self.step_count), "model.ckpt")
+            )
         loc_gt, vel_gt, loc_pred, vel_pred, survived = run_self_feed(
             self.model,
             self.params,

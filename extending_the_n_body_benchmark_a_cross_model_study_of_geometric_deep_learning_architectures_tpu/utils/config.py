@@ -101,6 +101,10 @@ class TrainerConfig(BaseModel):
     # precedes the only eval() in validation :1058) — stochastic for models
     # with live dropout (equiformer_v2, graph_transformer).
     self_feed_train_mode: bool = True
+    # Persist the evaluated params into checkpoints/<epoch>/model.ckpt so a
+    # past checkpoint can be re-rolled (self_feed.py --draws K).  Off by
+    # default: the reference only keeps final/best snapshots.
+    save_checkpoint_params: bool = False
     profile_epochs: Optional[int] = None  # jax.profiler trace of first N epochs
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
 

@@ -74,7 +74,7 @@ def test_dataset_cache_roundtrip(tmp_run_dir):
 
 
 def test_full_training_run_with_self_feed(tmp_run_dir):
-    args, cfg = make_args(tmp_run_dir)
+    args, cfg = make_args(tmp_run_dir, save_checkpoint_params=True)
     trainer = create_trainer_from_args(args, resolved_config=cfg)
     trainer.train()
 
@@ -90,6 +90,20 @@ def test_full_training_run_with_self_feed(tmp_run_dir):
     ckpt_dir = os.path.join(run, "checkpoints", "1")
     assert os.path.exists(os.path.join(ckpt_dir, "sticking_distributions.json"))
     assert os.path.exists(os.path.join(ckpt_dir, "nbody_macro_metrics.json"))
+    # save_checkpoint_params: per-checkpoint params, loadable for re-rolls
+    assert os.path.exists(os.path.join(ckpt_dir, "model.ckpt"))
+    import jax
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.restore import (
+        load_run,
+    )
+
+    _, ck_params, _, _ = load_run(
+        run, checkpoint=os.path.join("checkpoints", "1", "model.ckpt")
+    )
+    assert jax.tree_util.tree_structure(ck_params) == jax.tree_util.tree_structure(
+        trainer.params
+    )
     with open(os.path.join(ckpt_dir, "nbody_macro_metrics.json")) as f:
         m = json.load(f)
     assert "ks_pvalues" in m and "combined" in m["ks_pvalues"]
