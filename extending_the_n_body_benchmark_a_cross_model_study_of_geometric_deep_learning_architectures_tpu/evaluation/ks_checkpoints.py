@@ -117,8 +117,12 @@ def evaluate_run_checkpoints(
             os.path.join(ckpt_root, step), include_energy=False
         )
         rows.append({"checkpoint": int(step), "combined_pvalue": combined, **per})
-        for k, v in per.items():
-            per_macro_series.setdefault(k, []).append(v)
+
+    # build equal-length per-metric series (a checkpoint dir may be missing
+    # some artifacts, e.g. a run killed mid-eval): pad absent keys with NaN
+    all_keys = sorted({k for r in rows for k in r if k not in ("checkpoint", "combined_pvalue")})
+    for k in all_keys:
+        per_macro_series[k] = [r.get(k, float("nan")) for r in rows]
 
     valid = [r for r in rows if r["combined_pvalue"] == r["combined_pvalue"]]
     best = max(valid, key=lambda r: r["combined_pvalue"]) if valid else None
@@ -136,7 +140,11 @@ def evaluate_run_checkpoints(
     csv_path = os.path.join(run_path, "ks_results.csv")
     if rows:
         with open(csv_path, "w", newline="") as f:
-            w = csv.DictWriter(f, fieldnames=list(rows[0].keys()))
+            w = csv.DictWriter(
+                f,
+                fieldnames=["checkpoint", "combined_pvalue", *all_keys],
+                restval="",
+            )
             w.writeheader()
             w.writerows(rows)
 
