@@ -204,7 +204,9 @@ def main_datagen() -> None:
         physics,
     )
 
-    N = N_BODIES if N_BODIES != 100 else 5  # reference datagen workload: N=5
+    # reference datagen workload is N=5; only the rollout-mode default (100)
+    # is rewritten — an explicit BENCH_N_BODIES is honored as-is
+    N = N_BODIES if "BENCH_N_BODIES" in os.environ else 5
     T = int(os.environ.get("BENCH_SIM_LENGTH", 10000))
     log(f"devices: {jax.devices()} | datagen bench: B={BATCH} N={N} T={T}")
 

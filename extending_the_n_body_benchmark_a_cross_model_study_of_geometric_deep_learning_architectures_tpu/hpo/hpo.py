@@ -367,8 +367,15 @@ def run_study(
                 trainer.train_one_epoch()
                 trainer.step_count += 1
                 if trainer.step_count % eval_every == 0:
-                    trainer.run_self_feed_eval()
-                    report(trainer.step_count, score_run(trainer.save_dir_path))
+                    # keep-training crash resilience, matching
+                    # Trainer.train()'s own eval wrapper
+                    try:
+                        trainer.run_self_feed_eval()
+                        report(trainer.step_count, score_run(trainer.save_dir_path))
+                    except PrunedTrial:
+                        raise
+                    except Exception as e:
+                        print(f"self-feed eval failed at {trainer.step_count}: {e!r}")
             trainer.save_model(final=True)
         return score_run(trainer.save_dir_path)
 
@@ -421,12 +428,13 @@ def run_study(
         history.append(record)
         _atomic_append(store, record)
 
-    # pruned trials keep their partial value for the record but (like
-    # optuna) do not compete for best
+    # pruned/failed trials keep their partial value for the record but
+    # (like optuna) do not compete for best — a crashed trial's last
+    # intermediate report is not a completed result
     done = [
         h
         for h in history
-        if h.get("value") is not None and h.get("status") != "pruned"
+        if h.get("value") is not None and h.get("status", "done") == "done"
     ]
     best = max(done, key=lambda h: h["value"]) if done else None
     with open(os.path.join(study_dir, f"{model_type}_{mode}_summary.json"), "w") as f:

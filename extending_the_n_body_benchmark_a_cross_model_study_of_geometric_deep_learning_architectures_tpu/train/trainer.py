@@ -68,8 +68,13 @@ class Trainer:
         # TPU f32 matmuls default to one-pass bf16 multiplication; opt into
         # true f32 ("float32"/"highest") for precision-sensitive training —
         # the reference trains in f64 (config.yaml:177)
-        if getattr(args, "matmul_precision", None):
-            jax.config.update("jax_default_matmul_precision", args.matmul_precision)
+        # always set (not just when configured): the jax config is process-
+        # global, so a previous Trainer in the same process (e.g. an HPO
+        # trial) must not leak its precision into this one
+        jax.config.update(
+            "jax_default_matmul_precision",
+            getattr(args, "matmul_precision", None) or None,
+        )
 
         seed = args.seed if getattr(args, "seed", None) is not None else 0
         self._rng = jax.random.PRNGKey(seed)

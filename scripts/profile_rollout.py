@@ -84,12 +84,20 @@ def main() -> None:
         make_rollout_fn,
     )
 
-    # mirror bench.py's config names
-    dtype = {"xla-bfloat16": jnp.bfloat16}.get(args.config, jnp.float32)
-    compute_dtype = "bfloat16" if args.config == "xla-mixed-bf16" else ""
-    model = create_model(
-        "egnn_mc", **({"compute_dtype": compute_dtype} if compute_dtype else {})
-    )
+    # mirror bench.py's config names, incl. the pallas variants
+    known = {
+        "xla-float32": (jnp.float32, "", {}),
+        "xla-bfloat16": (jnp.bfloat16, "", {}),
+        "xla-mixed-bf16": (jnp.float32, "bfloat16", {}),
+        "pallas-mixed-bf16-t32": (jnp.float32, "bfloat16", {"use_pallas": True, "pallas_tile": 32}),
+        "pallas-bf16-t64": (jnp.bfloat16, "", {"use_pallas": True, "pallas_tile": 64}),
+    }
+    if args.config not in known:
+        raise SystemExit(f"unknown --config {args.config}; one of {sorted(known)}")
+    dtype, compute_dtype, mkw = known[args.config]
+    if compute_dtype:
+        mkw = {**mkw, "compute_dtype": compute_dtype}
+    model = create_model("egnn_mc", **mkw)
     B, N = args.batch, args.n_bodies
     pos = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32)
     vel = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32) * 0.1

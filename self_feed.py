@@ -42,9 +42,10 @@ def main(argv=None):
     )
     p.add_argument(
         "--matmul_precision",
-        default=None,
-        help="jax matmul precision for the rollout trace (e.g. float32); "
-        "TPU default runs f32 matmuls as bf16 MXU passes",
+        default="auto",
+        help="jax matmul precision for the rollout trace (e.g. float32; "
+        "'auto': the run's self_feed_matmul_precision, 'default': TPU "
+        "default bf16 MXU passes)",
     )
     args = p.parse_args(argv)
 
@@ -67,6 +68,14 @@ def main(argv=None):
         train_mode = bool(getattr(targs, "self_feed_train_mode", True))
     else:
         train_mode = args.train_mode == "on"
+    if args.matmul_precision == "auto":
+        # match the trainer's own checkpoint evals so re-rolled draws are
+        # comparable to the per-checkpoint series
+        matmul_precision = getattr(targs, "self_feed_matmul_precision", None)
+    elif args.matmul_precision == "default":
+        matmul_precision = None
+    else:
+        matmul_precision = args.matmul_precision
 
     out = args.out or os.path.join(args.run_dir, "generated_trajectories")
     draws = []
@@ -79,7 +88,7 @@ def main(argv=None):
             batch_size=args.batch_size,
             train_mode=train_mode,
             rng=jax.random.PRNGKey(args.seed + i),
-            matmul_precision=args.matmul_precision,
+            matmul_precision=matmul_precision,
         )
         draw_out = out if args.draws <= 1 else os.path.join(out, f"draw_{i:02d}")
         per, combined, _, _ = artifacts.evaluate_rollout(
@@ -91,9 +100,10 @@ def main(argv=None):
         )
         print(f"draw {i}: survived={survived} combined p={combined:.4g}")
 
+    import statistics
+
     best = max(draws, key=lambda d: d["combined_pvalue"])
-    ps = sorted(d["combined_pvalue"] for d in draws)
-    median = ps[len(ps) // 2]
+    median = statistics.median(d["combined_pvalue"] for d in draws)
     for k, v in best["per_macro"].items():
         print(f"  ks p [{k}] (best draw): {v:.4g}")
     print(f"steps survived (best draw): {best['steps_survived']}")
