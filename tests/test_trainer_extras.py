@@ -85,3 +85,20 @@ def test_ponita_calibration_applied(tmp_run_dir):
     kernel_keys = [k for k in flat_t if "_FiberBundleConv_0" in k and k[-1] == "kernel"]
     assert kernel_keys  # conv kernels exist and training still runs
     trainer.train_one_epoch()
+
+
+def test_matmul_precision_no_cross_trainer_leak(tmp_run_dir):
+    """jax_default_matmul_precision is process-global: a Trainer configured
+    without a precision must reset one left over from a previous Trainer
+    (HPO trials share a process)."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.config import (
+        flatten_args,
+    )
+
+    cfg_a = make_cfg(trainer_over={"matmul_precision": "float32"})
+    create_trainer_from_args(flatten_args(cfg_a), resolved_config=cfg_a)
+    assert jax.config.jax_default_matmul_precision == "float32"
+
+    cfg_b = make_cfg()  # no matmul_precision
+    create_trainer_from_args(flatten_args(cfg_b), resolved_config=cfg_b)
+    assert jax.config.jax_default_matmul_precision is None
