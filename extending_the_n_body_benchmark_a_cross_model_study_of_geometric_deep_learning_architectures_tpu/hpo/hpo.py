@@ -10,7 +10,8 @@ Reference parity points:
   0.05..2.0, categorical widths/layers/heads per model family
 * param budget modes ``param_small`` (1.8M) / ``param_medium`` (10M) ±7 %
   via width bisection + 16-multiple/head-divisible quantization
-  (``hpo.py:189-233``)
+  (``hpo.py:189-233``), plus ``time_matched`` (equal wall-clock per trial,
+  no budget matching; ``hpo.py:476-480``, trial time bound ``:309,328``)
 * objective = log(Fisher-combined KS p) over the last-k checkpoints
   (best/mean/median aggregation, ``hpo.py:331-467``)
 * atomic JSON trial logs + resume  (``hpo.py:28-43,664-676``)
@@ -303,7 +304,7 @@ def suggest_trial(model_type: str, history: List[Dict], seed: int = 0) -> Dict[s
 def run_study(
     model_type: str,
     trials: int = 10,
-    mode: str = "free",  # free | param_small | param_medium
+    mode: str = "free",  # free | param_small | param_medium | time_matched
     study_dir: str = "hpo_results",
     base_config: Optional[Dict] = None,
     train_epochs: int = 4,
@@ -312,6 +313,7 @@ def run_study(
     seed: int = 0,
     objective_fn=None,
     pruner: Optional[MedianPruner] = None,
+    trial_minutes: Optional[float] = None,
 ) -> Dict:
     """Run (or resume) a study; returns the best trial record.
 
@@ -321,6 +323,13 @@ def run_study(
     accept a third ``report(step, value)`` argument: calling it raises
     :class:`PrunedTrial` when the pruner vetoes continuation (the trial is
     recorded with status ``pruned`` and its partial value kept).
+
+    ``mode="time_matched"`` is the reference's third mode
+    (``hpo.py:476-480``): no parameter-budget matching — every trial instead
+    gets the same wall-clock budget, ``trial_minutes`` (reference default
+    40, ``--trial_minutes``).  As in the reference, ``trial_minutes`` also
+    bounds trials of the other modes when set (``hpo.py:309,328``);
+    ``train_epochs`` plays the reference's ``max_updates`` role.
     """
     import inspect
 
@@ -357,12 +366,14 @@ def run_study(
         )
         args = flatten_args(cfg)
         trainer = create_trainer_from_args(args)
-        if report is None:
+        if report is None and trial_minutes is None:
             trainer.train()
         else:
             # incremental epochs so intermediate KS scores can be reported
-            # (the reference's run_short_training_and_score loop shape,
-            # hpo.py:307-329 — with reporting actually wired up)
+            # and the wall-clock budget enforced (the reference's
+            # run_short_training_and_score loop shape, hpo.py:307-329 —
+            # time check at :328, with reporting actually wired up)
+            t_start = time.time()
             while trainer.step_count < train_epochs:
                 trainer.train_one_epoch()
                 trainer.step_count += 1
@@ -371,11 +382,19 @@ def run_study(
                     # Trainer.train()'s own eval wrapper
                     try:
                         trainer.run_self_feed_eval()
-                        report(trainer.step_count, score_run(trainer.save_dir_path))
+                        if report is not None:
+                            report(
+                                trainer.step_count, score_run(trainer.save_dir_path)
+                            )
                     except PrunedTrial:
                         raise
                     except Exception as e:
                         print(f"self-feed eval failed at {trainer.step_count}: {e!r}")
+                if (
+                    trial_minutes is not None
+                    and (time.time() - t_start) / 60.0 >= trial_minutes
+                ):
+                    break
             trainer.save_model(final=True)
         return score_run(trainer.save_dir_path)
 
@@ -449,7 +468,10 @@ def main(argv=None):  # pragma: no cover - thin CLI
     p.add_argument("--model_type", required=True)
     p.add_argument("--trials", type=int, default=10)
     p.add_argument("--mode", default="free",
-                   choices=["free", "param_small", "param_medium"])
+                   choices=["free", "param_small", "param_medium", "time_matched"])
+    p.add_argument("--trial_minutes", type=float, default=None,
+                   help="wall-clock budget per trial (reference default 40; "
+                        "required meaningfully by --mode time_matched)")
     p.add_argument("--study_dir", default="hpo_results")
     p.add_argument("--train_epochs", type=int, default=4)
     p.add_argument("--steps_per_epoch", type=int, default=50)
@@ -464,11 +486,15 @@ def main(argv=None):  # pragma: no cover - thin CLI
           if v is not None}
     if dl:
         base = {"dataloaders": {f"{a.model_type}_nbody": dl}}
+    trial_minutes = a.trial_minutes
+    if a.mode == "time_matched" and trial_minutes is None:
+        trial_minutes = 40.0  # reference --trial_minutes default (hpo.py:480)
     best = run_study(
         a.model_type, trials=a.trials, mode=a.mode, study_dir=a.study_dir,
         base_config=base or None, train_epochs=a.train_epochs,
         steps_per_epoch=a.steps_per_epoch,
         self_feed_limit_steps=a.self_feed_limit_steps,
+        trial_minutes=trial_minutes,
     )
     print("best trial:", json.dumps(best, indent=2))
 

@@ -138,6 +138,49 @@ def test_run_study_with_stub_objective(tmp_path):
     assert best2["value"] == best["value"]
 
 
+def test_run_study_time_matched(tmp_run_dir):
+    """``mode=time_matched``: no param-budget matching, and ``trial_minutes``
+    bounds the real-Trainer objective's epoch loop (reference hpo.py:328) —
+    at a 0-minute budget exactly one epoch runs, so no checkpoint is ever
+    evaluated and the score is the 1e-300 floor."""
+    base = {
+        "models": {"egnn_mc": dict(num_layers=1, hidden_edge_dim=16, hidden_coord_dim=16)},
+        "dataloaders": {
+            "egnn_mc_nbody": {
+                "batch_size": 4,
+                "cache_data": False,
+                "seed": 0,
+                "gravity_dataset": {"num_atoms": 5, "sim_length": 300, "sample_freq": 10},
+            }
+        },
+        "trainers": {"trainer_nbody": {"seed": 0, "steps_per_epoch": 2}},
+    }
+    best = hpo.run_study(
+        "egnn_mc",
+        trials=1,
+        mode="time_matched",
+        study_dir=str(tmp_run_dir / "hpo"),
+        base_config=base,
+        train_epochs=6,
+        steps_per_epoch=2,
+        self_feed_limit_steps=10,
+        trial_minutes=0.0,
+    )
+    store = tmp_run_dir / "hpo" / "egnn_mc_time_matched_trials.jsonl"
+    records = [json.loads(l) for l in open(store)]
+    assert len(records) == 1 and records[0]["status"] == "done"
+    # no width bisection in time_matched mode
+    assert records[0]["n_params"] is None
+    # stopped after 1 epoch: eval_every=3 never reached -> floor score
+    assert best["value"] == pytest.approx(math.log(1e-300))
+    run_dirs = list((tmp_run_dir / "runs" / "egnn_mc").iterdir())
+    assert len(run_dirs) == 1
+    assert not (run_dirs[0] / "checkpoints").exists()
+    # the epoch loop still saved the final model (reference writes a final
+    # checkpoint after the timed loop)
+    assert (run_dirs[0] / "model.ckpt").exists()
+
+
 def test_median_pruner_semantics():
     p = hpo.MedianPruner(n_startup_trials=2)
     assert not p.should_prune(1, -100.0)  # startup: too few finished trials
