@@ -22,16 +22,8 @@ from typing import Dict, List, Optional, Tuple
 import numpy as np
 
 from ..metrics import artifacts
-from ..metrics.ks import fisher_combine, ks_p
+from ..metrics.ks import SCORED_MACROS, fisher_combine, ks_p
 
-SCORED_MACROS = [
-    "collision_histogram",
-    "group_collision_count",
-    "leaving_count",
-    "sharp_turn_count_30",
-    "sharp_turn_count_45",
-    "sticking_histogram",
-]
 ENERGY_KEYS = ["energy_total", "energy_potential", "energy_kinetic"]
 
 

@@ -20,17 +20,12 @@ import numpy as np
 from ..core.physics import GravityParams
 from ..data.gravity_otf import GravityDatasetOtf
 from ..metrics import macros as M
-from ..metrics.ks import fisher_combine, ks_p
+from ..metrics.ks import SCORED_MACROS, fisher_combine, ks_p
 
-MACRO_KEYS = [
-    "sticking_histogram",
-    "collision_histogram",
-    "leaving_count",
-    "sharp_turn_count_30",
-    "sharp_turn_count_45",
-    "com_movement",
-    "group_collision_count",
-]
+# per-macro noise-floor stats cover com_movement too, but the combined
+# floor below uses exactly the six SCORED_MACROS so it is distributed
+# identically (chi2, 12 dof) to the scoreboard's combined p-value
+MACRO_KEYS = SCORED_MACROS + ["com_movement"]
 
 
 def _hist_divergences(a: np.ndarray, b: np.ndarray, bins: int = 20):
@@ -83,7 +78,7 @@ def baseline_metamacros(
         for k, v in stats.items()
     }
     combined_floor = [
-        fisher_combine([stats[k]["ks_p"][idx] for k in MACRO_KEYS])
+        fisher_combine([stats[k]["ks_p"][idx] for k in SCORED_MACROS])
         for idx in range(len(stats[MACRO_KEYS[0]]["ks_p"]))
     ]
     out = {"per_macro": summary, "combined_pvalues": combined_floor}
@@ -125,27 +120,36 @@ def compare_dt(
     save_dir: Optional[str] = None,
 ) -> Dict:
     """Macro sensitivity to the integrator step: KS of each macro vs the
-    base dt (fixed total simulated *time*, like the reference which scales
-    ``sim_length`` with dt, ``compare_dt.py:23-62``)."""
+    base dt.  Like the reference, both the *number of saved frames* and the
+    *physical time between frames* are held constant across dt — the
+    variant's sample_freq is ``base_sample_freq / (dt / base_dt)`` and its
+    total integrator steps scale to match (``compare_dt.py:50-54``) — so
+    frame-count-based macros (sticking >= 3 frames, leaving > 10 frames,
+    per-frame sharp turns) see an identical sampling grid and the KS
+    p-values measure integrator sensitivity only."""
     base_loc, base_vel, *_ = base_dataset.get_ground_truth_trajectories()
     base = M.compute_all_macros(np.asarray(base_loc), np.asarray(base_vel))
-    base_time = base_dataset.sim_length * base_dataset.dt
+    frame_spacing = base_dataset.sample_freq * base_dataset.dt  # physical time
+    num_frames = base_dataset.sim_length // base_dataset.sample_freq
 
     results = {}
     for dt in dt_values:
-        sim_length = max(int(round(base_time / dt)), base_dataset.sample_freq)
-        sim_length -= sim_length % base_dataset.sample_freq
+        sample_freq = max(int(round(frame_spacing / dt)), 1)
+        sim_length = num_frames * sample_freq
         ds = GravityDatasetOtf(
             dataset_name=base_dataset.dataset_name,
             target=base_dataset.target,
             batch_size=base_dataset.batch_size,
             sim_length=sim_length,
-            sample_freq=base_dataset.sample_freq,
+            sample_freq=sample_freq,
             noise_var=base_dataset.noise_var,
             num_nodes=base_dataset.num_nodes,
+            vel_norm=base_dataset.vel_norm,
             interaction_strength=base_dataset.interaction_strength,
             dt=dt,
             softening=base_dataset.softening,
+            double_precision=base_dataset.double_precision,
+            center_of_mass=base_dataset.center_of_mass,
             cache_data=False,
         )
         loc, vel, *_ = ds.get_ground_truth_trajectories()
@@ -153,8 +157,9 @@ def compare_dt(
         per = {k: ks_p(base[k], mac[k]) for k in MACRO_KEYS}
         results[dt] = {
             "per_macro_ks_p": per,
-            "combined": fisher_combine(list(per.values())),
+            "combined": fisher_combine([per[k] for k in SCORED_MACROS]),
             "sim_length": sim_length,
+            "sample_freq": sample_freq,
         }
     out = {"base_dt": base_dataset.dt, "results": {str(k): v for k, v in results.items()}}
     if save_dir:

@@ -19,6 +19,7 @@ Reference parity points:
 
 from __future__ import annotations
 
+import copy
 import json
 import math
 import os
@@ -106,9 +107,20 @@ class TPESampler:
             return s
 
         cands = [self._random_point() for _ in range(self.n_candidates)]
-        # also mutate around good points
+        # also mutate around good points (actually perturbed — an exact copy
+        # would maximize the density ratio and make the sampler re-run an
+        # already-evaluated configuration verbatim)
         for h in good[: self.n_candidates // 4]:
-            cands.append(dict(h["params"]))
+            p = dict(h["params"])
+            for name, spec in self.space.items():
+                if spec[0] == "float_log":
+                    lo, hi = spec[1], spec[2]
+                    bw = (math.log(hi) - math.log(lo)) / 12.0
+                    lv = math.log(p[name]) + self.rng.gauss(0.0, bw)
+                    p[name] = math.exp(min(max(lv, math.log(lo)), math.log(hi)))
+                elif self.rng.random() < 0.2:
+                    p[name] = self.rng.choice(list(spec[1]))
+            cands.append(p)
         return max(cands, key=score)
 
 
@@ -221,12 +233,19 @@ def adjust_width_to_target(
     key = _WIDTH_KEY.get(model_type, "hidden_features")
     heads = model_kwargs.get("num_heads", 1) or 1
     kwargs = dict(model_kwargs)
-    lo, hi = 16, 1536
-    for _ in range(10):
+
+    def sync(kw):
+        # equiformer_v2 scales three channel knobs in lockstep
+        # (trial_to_overrides ties them too); keep them consistent on every
+        # width update, including the final non-converged one
         if model_type == "equiformer_v2":
             for k in ("sphere_channels", "attn_hidden_channels", "ffn_hidden_channels"):
-                kwargs[k] = kwargs[key]
-        n = _count_params(model_type, kwargs, num_atoms)
+                kw[k] = kw[key]
+        return kw
+
+    lo, hi = 16, 1536
+    for _ in range(10):
+        n = _count_params(model_type, sync(kwargs), num_atoms)
         if abs(n - target) / target <= tolerance:
             return kwargs, n
         if n > target:
@@ -236,7 +255,16 @@ def adjust_width_to_target(
         kwargs[key] = _quantize_width(model_type, (lo + hi) // 2, heads)
         if hi - lo <= 16:
             break
-    return kwargs, _count_params(model_type, kwargs, num_atoms)
+    n = _count_params(model_type, sync(kwargs), num_atoms)
+    if abs(n - target) / target > tolerance:
+        # the reference also proceeds with the non-converged width, recording
+        # the actual param count (``hpo.py:609-617``) — warn but don't abort
+        print(
+            f"[hpo] width bisection for {model_type} stopped outside "
+            f"tolerance: {n} params vs target {target} (±{tolerance:.0%}) "
+            f"at {key}={kwargs[key]}"
+        )
+    return kwargs, n
 
 
 # ---------------------------------------------------------------- objective
@@ -348,7 +376,9 @@ def run_study(
     def default_objective(model_kwargs, trainer_overrides, report=None):
         from ..train.trainer import create_trainer_from_args
 
-        cfg = dict(base_config or {})
+        # deep copy: the section dicts below are mutated per trial and must
+        # not leak into the caller's base_config across trials
+        cfg = copy.deepcopy(base_config) if base_config else {}
         cfg.setdefault("main", {})["model_type"] = model_type
         cfg["main"]["dataloader_type"] = f"{model_type}_nbody"
         cfg.setdefault("models", {})[model_type] = model_kwargs

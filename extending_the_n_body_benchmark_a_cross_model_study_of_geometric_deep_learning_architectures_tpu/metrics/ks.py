@@ -9,6 +9,18 @@ from typing import Dict, List, Tuple
 
 import numpy as np
 
+# The six scored macros of the reference's combined KS score
+# (``utils/hpo_metrics.py:MACRO_FILES``, ``ks_test_model_checkpoints.py:38-49``).
+# Single source of truth — ks_checkpoints / studies import this list.
+SCORED_MACROS = [
+    "collision_histogram",
+    "group_collision_count",
+    "leaving_count",
+    "sharp_turn_count_30",
+    "sharp_turn_count_45",
+    "sticking_histogram",
+]
+
 
 def ks_p(a, b) -> float:
     """KS 2-sample p-value with the reference's NaN handling
@@ -35,10 +47,10 @@ def fisher_combine(p_values: List[float]) -> float:
     if not vals:
         return float("nan")
     try:
-        from mpmath import log, mp
+        from mpmath import log, mp, workdps
 
-        mp.dps = 200
-        chi_stat = float(-2 * mp.fsum([log(mp.mpf(p)) for p in vals]))
+        with workdps(200):  # scoped, not a process-global mp.dps mutation
+            chi_stat = float(-2 * mp.fsum([log(mp.mpf(p)) for p in vals]))
     except Exception:  # pragma: no cover
         chi_stat = -2.0 * sum(math.log(p) for p in vals)
     dof = 2 * len(vals)
@@ -61,16 +73,8 @@ def macro_ks_pvalues(
     ``com_movement`` is recorded but not part of the reference's combined
     score, so it is excluded from the combination here too).
     """
-    scored = [
-        "collision_histogram",
-        "group_collision_count",
-        "leaving_count",
-        "sharp_turn_count_30",
-        "sharp_turn_count_45",
-        "sticking_histogram",
-    ]
     per: Dict[str, float] = {}
-    for key in scored:
+    for key in SCORED_MACROS:
         per[key] = ks_p(gt.get(key, []), pred.get(key, []))
     combined = fisher_combine(list(per.values()))
     return per, combined

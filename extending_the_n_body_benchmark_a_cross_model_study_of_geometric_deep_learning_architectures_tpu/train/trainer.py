@@ -410,6 +410,7 @@ class Trainer:
             print("Training interrupted. Saving model...")
             self._stop_trace_safe(profile_epochs)
             self.save_model(final=True)
+            return  # final save already done — don't duplicate it below
         except Exception as e:
             self._stop_trace_safe(profile_epochs)
             self.save_model(final=True)

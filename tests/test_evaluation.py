@@ -75,6 +75,29 @@ def test_compare_dt(tmp_path, monkeypatch):
     assert "0.01" in out["results"] and "0.02" in out["results"]
     # same dt as base -> statistically indistinguishable macros
     assert out["results"]["0.01"]["combined"] > 1e-4
+    # frame grid held constant across dt (reference compare_dt.py:50-54):
+    # saved-frame count and physical spacing must not vary with dt, else
+    # frame-count-based macros confound the KS comparison
+    for d, r in out["results"].items():
+        assert r["sim_length"] // r["sample_freq"] == ds.sim_length // ds.sample_freq
+        assert abs(r["sample_freq"] * float(d) - ds.sample_freq * ds.dt) < 1e-9
+
+
+def test_tpe_does_not_repropose_exact_good_points():
+    # the 'mutate around good points' candidates must be perturbed — exact
+    # copies maximize the density ratio and burn trials re-running params
+    space = hpo.search_space("egnn_mc")
+    sampler = hpo.TPESampler(space, seed=3)
+    history = [
+        {"params": sampler._random_point(), "value": float(-i)} for i in range(10)
+    ]
+    seen = {tuple(sorted(h["params"].items())) for h in history}
+    repeats = sum(
+        1
+        for _ in range(20)
+        if tuple(sorted(sampler.propose(history).items())) in seen
+    )
+    assert repeats == 0
 
 
 # ----------------------------------------------------------------- HPO
