@@ -56,7 +56,14 @@ def register_model(name: str, cls, defaults: Dict[str, Any] | None = None) -> No
 
 
 def create_model(model_type: str, **overrides):
-    """Instantiate a model by registry name with config.yaml-style defaults."""
+    """Instantiate a model by registry name with config.yaml-style defaults.
+
+    ``None`` overrides mean "unset, use the default" (configs emit None for
+    absent fields).  Knobs where "disabled" is meaningful use a disabling
+    *value* instead, mirroring the reference's config surface — e.g.
+    ``ponita: layer_scale=0.0`` disables layer scale
+    (``ponita_nbody.py:54-55``).
+    """
     if model_type not in MODEL_REGISTRY:
         raise ValueError(
             f"Unknown model_type '{model_type}'. Known: {sorted(MODEL_REGISTRY)}"

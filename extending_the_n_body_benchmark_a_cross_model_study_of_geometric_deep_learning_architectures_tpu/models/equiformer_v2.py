@@ -604,6 +604,14 @@ class EquiformerV2(nn.Module):
 
     @nn.compact
     def __call__(self, scene: Scene, mask, train: bool = False):
+        if self.lmax != LMAX:
+            # the SH machinery (restricted_indices, wigner_full, s2 grids,
+            # SO3Linear tables) is specialised to lmax=2, the reference nbody
+            # configuration (config.yaml lmax_list [2]); fail loudly rather
+            # than silently running lmax=2 under another label
+            raise NotImplementedError(
+                f"EquiformerV2 is specialised to lmax={LMAX}; got lmax={self.lmax}"
+            )
         B, N = scene.pos.shape[:2]
         C = self.sphere_channels
         dtype = scene.pos.dtype

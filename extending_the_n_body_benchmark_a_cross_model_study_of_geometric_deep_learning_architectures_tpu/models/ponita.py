@@ -36,7 +36,7 @@ from flax import linen as nn
 from ..core import graph as G
 from ..core.scene import Scene
 from ..ops.s2grid import uniform_grid_s2
-from .common import TorchLinear
+from .common import TorchLinear, torch_kernel_init
 
 
 def polynomial_features(x: jnp.ndarray, degree: int) -> jnp.ndarray:
@@ -78,15 +78,22 @@ class _FiberBundleConv(nn.Module):
         """x [B,N,O,C]; kernel_basis [B,N,N,O,basis] (receiver, sender);
         fiber_kernel_basis [O,O,basis]; adj [B,N,N]."""
         num_ori = x.shape[-2]
-        kernel = nn.Dense(self.channels, use_bias=False, dtype=x.dtype,
-                          param_dtype=jnp.float32)(kernel_basis)  # [B,N,N,O,C]
+        # torch nn.Linear init (U(±1/sqrt(fan_in)), matching the reference
+        # conv's kernel nets, ``nn/conv.py:84-85``); plain nn.Dense keeps the
+        # param-tree layout stable for existing checkpoints + calibrate_params
+        kernel = nn.Dense(
+            self.channels, use_bias=False, kernel_init=torch_kernel_init,
+            dtype=x.dtype, param_dtype=jnp.float32,
+        )(kernel_basis)  # [B,N,N,O,C]
         self.sow("calib", "std_in", jnp.std(x))
         # spatial conv: message = kernel * x_sender, aggregated over senders
         msgs = kernel * x[:, None, :, :, :]
         x1 = G.masked_segment_sum(msgs, adj)  # [B,N,O,C]
         self.sow("calib", "std_1", jnp.std(x1))
-        fiber_kernel = nn.Dense(self.channels, use_bias=False, dtype=x.dtype,
-                                param_dtype=jnp.float32)(fiber_kernel_basis)  # [O,P,C]
+        fiber_kernel = nn.Dense(
+            self.channels, use_bias=False, kernel_init=torch_kernel_init,
+            dtype=x.dtype, param_dtype=jnp.float32,
+        )(fiber_kernel_basis)  # [O,P,C]
         x2 = jnp.einsum("bnoc,opc->bnpc", x1, fiber_kernel) / num_ori
         self.sow("calib", "std_2", jnp.std(x2))
         bias = self.param("bias", nn.initializers.zeros, (self.channels,))
@@ -172,12 +179,21 @@ class PONITA(nn.Module):
         )
         vec_sphere = jnp.einsum("bnd,od->bno", scene.vel, ori)[..., None]
         x = jnp.concatenate([scalar_sphere, vec_sphere], axis=-1)  # [B,N,O,2]
-        x = nn.Dense(H, use_bias=False, dtype=x.dtype, param_dtype=jnp.float32)(x)
+        # x_embedder is a bias-free torch nn.Linear (``ponita_pg.py:109``) —
+        # torch init via kernel_init, keeping the Dense_0 param slot
+        x = nn.Dense(
+            H, use_bias=False, kernel_init=torch_kernel_init,
+            dtype=x.dtype, param_dtype=jnp.float32,
+        )(x)
 
+        # layer_scale == 0.0 disables layer scale, like the reference's
+        # config surface (``ponita_nbody.py:54-55`` maps 0.0 -> None; plain
+        # None can't round-trip a config, it reads as "unset")
+        layer_scale = self.layer_scale if self.layer_scale else None
         readouts = []
         for i in range(self.num_layers):
             x = _ConvNextBlock(
-                H, self.basis_dim, self.widening_factor, self.layer_scale
+                H, self.basis_dim, self.widening_factor, layer_scale
             )(x, kernel_basis, fiber_kernel_basis, adj)
             if self.multiple_readouts or i == self.num_layers - 1:
                 readouts.append(TorchLinear(self.out_channels_vec)(x))

@@ -252,7 +252,10 @@ def fused_egnn_messages(
     )
     out_shape = (
         jax.ShapeDtypeStruct((B, Ni, He), hA.dtype),
-        jax.ShapeDtypeStruct((B, Ni, 8), hA.dtype),
+        # trans feeds the coordinate update, which stays f32 under mixed
+        # precision (models/egnn_mc.py keeps coords in the scene dtype) —
+        # emitting it in the bf16 message dtype would erode position mantissa
+        jax.ShapeDtypeStruct((B, Ni, 8), jnp.float32),
     )
     weights = (w_geom8, W2, b2[None, :], Wc1, bc1[None, :], wc2_col)
 

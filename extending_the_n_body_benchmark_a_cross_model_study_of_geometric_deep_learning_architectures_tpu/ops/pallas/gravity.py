@@ -49,7 +49,10 @@ def _gravity_kernel(pos_ref, massw_ref, acc_ref, *, G: float, softening: float):
     dy = y - yt
     dz = z - zt
     r2 = dx * dx + dy * dy + dz * dz + softening * softening
-    inv_r = jax.lax.rsqrt(r2)
+    # guard r2 == 0 (softening=0 diagonal / coincident bodies) exactly like
+    # the XLA path's jnp.where(r2 > 0, ...) — rsqrt(0) = inf would turn the
+    # whole row NaN through 0 * inf
+    inv_r = jnp.where(r2 > 0.0, jax.lax.rsqrt(jnp.where(r2 > 0.0, r2, 1.0)), 0.0)
     w = inv_r * inv_r * inv_r * m_row  # [Np, Np] *= m_j  (zero on padding)
 
     # acc_i = G * sum_j rel_ij * w_ij  (reduce over j = axis 1, keep 2D)

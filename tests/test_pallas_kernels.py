@@ -35,6 +35,37 @@ def test_pallas_gravity_matches_xla(B, N):
     )
 
 
+def test_pallas_gravity_zero_softening_no_nan():
+    """softening=0 must not NaN the diagonal (XLA path guards r2 > 0)."""
+    rng = np.random.default_rng(1)
+    pos = jnp.asarray(rng.normal(size=(2, 6, 3)), jnp.float32)
+    mass = jnp.asarray(np.abs(rng.normal(size=(2, 6, 1))) + 0.5, jnp.float32)
+    want = physics.compute_acceleration(pos, mass, 2.0, 0.0)
+    got = GK.pallas_acceleration(pos, mass, 2.0, 0.0, interpret=True)
+    assert np.isfinite(np.asarray(got)).all()
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=2e-5, atol=1e-5)
+
+
+def test_fused_egnn_messages_bf16_trans_stays_f32():
+    """trans feeds the f32 coordinate update — bf16 messages must not
+    quantize it (mixed-precision pallas config)."""
+    B, N, He, Hc = 1, 16, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 9)
+    mkb = lambda i, s: (jax.random.normal(ks[i], s, jnp.float32) * 0.2).astype(
+        jnp.bfloat16
+    )
+    mask = jnp.ones((B, N, N), bool) & ~jnp.eye(N, dtype=bool)
+    agg, trans = EM.fused_egnn_messages(
+        mkb(0, (B, N, He)), mkb(1, (B, N, He)),
+        jax.random.normal(ks[2], (B, N, N, 8), jnp.float32), mask,
+        mkb(3, (5, He)), mkb(4, (He, He)), mkb(5, (He,)),
+        mkb(6, (He, Hc)), mkb(7, (Hc,)), mkb(8, (Hc,)),
+        interpret=True,
+    )
+    assert agg.dtype == jnp.bfloat16
+    assert trans.dtype == jnp.float32
+
+
 def test_fused_egnn_messages_matches_dense(monkeypatch):
     monkeypatch.setattr(
         EM, "fused_egnn_messages", functools.partial(EM.fused_egnn_messages, interpret=True)
