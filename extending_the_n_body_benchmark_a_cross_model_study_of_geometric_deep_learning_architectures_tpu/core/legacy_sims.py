@@ -57,33 +57,38 @@ def _pair_force(loc, forces_size, max_f):
 
 
 def _simulate(loc0, vel0, forces_size_fn, params, T, sample_freq, key, dim, n):
-    """Shared Euler loop (``synthetic_sim.py:103-152`` structure): frame 0 is
-    the clamped initial state; subsequent frames are saved at ``i % freq == 0``
-    for i in 1..T-1 (T_save = T/freq - 1 frames total)."""
+    """Shared Euler loop, frame-exact to ``synthetic_sim.py:103-152``: after
+    an initial kick ``vel += dt*F(loc0)``, each iteration i in 1..T-1 drifts
+    ``loc += dt*vel``, *then* saves ``(loc, vel)`` when ``i % freq == 0``
+    (vel at the save point has NOT yet received this iteration's kick), then
+    kicks ``vel += dt*F(loc)``.  Saves land at i = freq..T-freq — note the
+    reference initialises ``loc[0]`` with the clamped initial state but its
+    save counter starts at 0, so the first save *overwrites* it
+    (``synthetic_sim.py:103,129-131``); the initial frame never appears in
+    the output.  T_save = T/freq - 1 frames total."""
     max_f = 0.1 / params.dt
     t_save = T // sample_freq - 1
 
     vel = vel0 + params.dt * _pair_force(loc0, forces_size_fn(loc0), max_f)
 
+    def one(c, _):
+        loc, vel = c
+        loc = loc + params.dt * vel
+        F = _pair_force(loc, forces_size_fn(loc), max_f)
+        vel = vel + params.dt * F
+        return (loc, vel), None
+
     def block(carry, _):
-        loc, vel = carry
+        # freq-1 full drift+kick iterations, then the save iteration split
+        # around its save point: drift -> save (loc, pre-kick vel) -> kick
+        (loc, vel), _ = jax.lax.scan(one, carry, None, length=sample_freq - 1)
+        loc = loc + params.dt * vel
+        frame = (loc, vel)
+        F = _pair_force(loc, forces_size_fn(loc), max_f)
+        vel = vel + params.dt * F
+        return (loc, vel), frame
 
-        def one(c, _):
-            loc, vel = c
-            loc = loc + params.dt * vel
-            F = _pair_force(loc, forces_size_fn(loc), max_f)
-            vel = vel + params.dt * F
-            return (loc, vel), None
-
-        (loc, vel), _ = jax.lax.scan(one, (loc, vel), None, length=sample_freq)
-        # the reference saves loc *before* the force update of that step and
-        # vel *after* the previous update — at the block boundary both match
-        return (loc, vel), (loc, vel)
-
-    # frame at i=sample_freq, 2*sample_freq, ... (T/freq - 1 of them)
-    (_, _), (locs, vels) = jax.lax.scan(block, (loc0, vel), None, length=t_save - 1)
-    locs = jnp.concatenate([loc0[None], locs], axis=0)
-    vels = jnp.concatenate([vel0[None], vels], axis=0)
+    (_, _), (locs, vels) = jax.lax.scan(block, (loc0, vel), None, length=t_save)
 
     if params.noise_var:
         k1, k2 = jax.random.split(key)

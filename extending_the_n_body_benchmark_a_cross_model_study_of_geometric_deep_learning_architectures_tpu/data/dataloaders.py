@@ -101,6 +101,10 @@ class OfflineSegnnDataLoader:
         return scene, y
 
     def preprocess_batch(self, scene: Scene) -> jnp.ndarray:
+        if getattr(self, "_last_mask", None) is None:
+            import numpy as _np
+
+            return jnp.asarray(self.dataset.edge_mask(_np.asarray(scene.pos)))
         return self._last_mask
 
     def postprocess_batch(self, predictions):

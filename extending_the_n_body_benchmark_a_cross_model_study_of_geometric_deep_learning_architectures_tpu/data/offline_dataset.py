@@ -105,6 +105,8 @@ class OfflineNBodyDataset:
         d = np.linalg.norm(loc_0[:, :, None] - loc_0[:, None, :], axis=-1)
         d = d + np.eye(N) * 1e18
         keep = int(N * (N - 1) * (1.0 - self.cutoff_rate))
+        if keep <= 0:  # cutoff_rate ~1.0: argpartition(kth=-1) would
+            return np.zeros((B, N, N), dtype=bool)  # silently mis-partition
         flat = d.reshape(B, -1)
         idx = np.argpartition(flat, keep - 1, axis=1)[:, :keep]
         mask = np.zeros((B, N * N), dtype=bool)

@@ -28,6 +28,12 @@ class Inferencer:
         self.num_neighbors = (
             getattr(self.args, "num_neighbors", None) or self.dataset.num_nodes - 1
         )
+        # rollout knobs follow the run's own checkpoint-eval settings so
+        # Inferencer numbers are comparable to the trainer's logged series
+        # (bf16-vs-f32 matmul passes and live dropout both shift KS p by
+        # many orders — see BENCH_NOTES.md)
+        self.matmul_precision = getattr(self.args, "self_feed_matmul_precision", None)
+        self.train_mode = bool(getattr(self.args, "self_feed_train_mode", True))
         self._predict = jax.jit(self._predict_impl)
         self._rollouts = {}
 
@@ -40,24 +46,39 @@ class Inferencer:
         return self._predict(self.params, scene)
 
     def rollout(
-        self, scene0: Scene, num_steps: int
+        self, scene0: Scene, num_steps: int, rng=None
     ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """Autoregressive rollout from an initial scene; returns
         ``(loc [B,T,N,3], vel [B,T,N,3], steps_survived)``."""
         if num_steps not in self._rollouts:
             self._rollouts[num_steps] = make_rollout_fn(
-                self.model, num_steps, target=self.dataset.target
+                self.model, num_steps,
+                num_neighbors=self.num_neighbors,
+                target=self.dataset.target,
+                matmul_precision=self.matmul_precision,
+                train_mode=self.train_mode,
             )
-        loc, vel, survived = self._rollouts[num_steps](self.params, scene0)
+        fn = self._rollouts[num_steps]
+        if self.train_mode:
+            loc, vel, survived = fn(
+                self.params, scene0, rng if rng is not None else jax.random.PRNGKey(0)
+            )
+        else:
+            loc, vel, survived = fn(self.params, scene0)
         return loc, vel, int(survived.min())
 
-    def evaluate(self, num_steps: Optional[int] = None, save_dir: Optional[str] = None):
+    def evaluate(self, num_steps: Optional[int] = None, save_dir: Optional[str] = None,
+                 rng=None):
         """Fresh-GT rollout + macro KS scoring (run_inference semantics)."""
         from ..metrics import artifacts
         from .self_feed import run_self_feed
 
         loc_gt, vel_gt, loc_pred, vel_pred, survived = run_self_feed(
-            self.model, self.params, self.dataset, num_steps=num_steps
+            self.model, self.params, self.dataset, num_steps=num_steps,
+            num_neighbors=self.num_neighbors,
+            matmul_precision=self.matmul_precision,
+            train_mode=self.train_mode,
+            rng=rng,
         )
         if save_dir:
             per, combined, _, _ = artifacts.evaluate_rollout(

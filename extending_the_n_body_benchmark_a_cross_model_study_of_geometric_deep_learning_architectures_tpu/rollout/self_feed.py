@@ -85,18 +85,23 @@ def make_rollout_fn(
         n = scene0.pos.shape[1]
         k = num_neighbors if (num_neighbors and 0 < num_neighbors < n) else n - 1
         mass = scene0.mass
-        force0 = jnp.zeros_like(scene0.pos)
+        zero_force = jnp.zeros_like(scene0.pos)
+
+        # the reference seeds the first model call with the GT frame-0 force
+        # and zeros thereafter ("force is not predicted",
+        # infer_self_feed.py:63-68,189-191) — carry the force so step 0 sees
+        # scene0.force and every later step sees zeros
         if train_mode and rng is None:
             rng = jax.random.PRNGKey(0)
 
         def step(carry, _):
             if train_mode:
-                pos, vel, frozen, key = carry
+                pos, vel, force, frozen, key = carry
                 key, sub = jax.random.split(key)
             else:
-                pos, vel, frozen = carry
+                pos, vel, force, frozen = carry
             mask = G.knn_mask(pos, k)
-            scene = Scene(pos=pos, vel=vel, force=force0, mass=mass)
+            scene = Scene(pos=pos, vel=vel, force=force, mass=mass)
             if train_mode:
                 out = model.apply(params, scene, mask, True, rngs={"dropout": sub})
             else:
@@ -114,17 +119,17 @@ def make_rollout_fn(
             new_pos = jnp.where(keep, pos, new_pos)
             new_vel = jnp.where(keep, vel, new_vel)
             new_carry = (
-                (new_pos, new_vel, frozen, key)
+                (new_pos, new_vel, zero_force, frozen, key)
                 if train_mode
-                else (new_pos, new_vel, frozen)
+                else (new_pos, new_vel, zero_force, frozen)
             )
             return new_carry, (new_pos, new_vel, frozen)
 
         frozen0 = jnp.zeros(scene0.pos.shape[0], dtype=bool)
         carry0 = (
-            (scene0.pos, scene0.vel, frozen0, rng)
+            (scene0.pos, scene0.vel, scene0.force, frozen0, rng)
             if train_mode
-            else (scene0.pos, scene0.vel, frozen0)
+            else (scene0.pos, scene0.vel, scene0.force, frozen0)
         )
         _, (locs, vels, frozens) = jax.lax.scan(
             step, carry0, None, length=num_steps - 1

@@ -95,10 +95,17 @@ class Trainer:
             self._replicated = replicate(self.mesh)
             print(f"Data-parallel over {n_dev} devices (sim axis)")
 
-        # Parameter init from a dummy scene (static shapes).
-        scene0, y0 = dataset.get_batch()
+        # Parameter init from a dummy scene (static shapes).  Offline
+        # datasets return (scene, y, edge_mask) — their cutoff-rate mask is
+        # data, not a function of positions, so it rides along into the
+        # jitted step instead of being recomputed in-trace.
+        batch0 = dataset.get_batch()
+        self._data_masks = len(batch0) == 3
+        scene0, y0 = batch0[0], batch0[1]
         scene0 = scene0.astype(self.dtype)
-        mask0 = G.knn_mask(scene0.pos, self.num_neighbors)
+        mask0 = batch0[2] if self._data_masks else G.knn_mask(
+            scene0.pos, self.num_neighbors
+        )
         self._rng, init_key = jax.random.split(self._rng)
         self.params = model.init(init_key, scene0, mask0)
         if args.model_type == "ponita":
@@ -151,27 +158,35 @@ class Trainer:
 
         abort_on_nan = getattr(self.args, "abort_on_nan_activations", False)
 
+        data_masks = self._data_masks
+
         jit_kwargs: dict = {"donate_argnums": (0, 1)}
         if self.mesh is not None:
             ds = self._data_sharding
             repl = self._replicated
             scene_sh = Scene(pos=ds, vel=ds, force=ds, mass=ds)
-            jit_kwargs["in_shardings"] = (repl, repl, scene_sh, ds, repl)
+            in_sh = [repl, repl, scene_sh, ds]
+            if data_masks:
+                in_sh.append(ds)
+            in_sh.append(repl)
+            jit_kwargs["in_shardings"] = tuple(in_sh)
 
         dtype = self.dtype
         metric_names: list = []  # filled at trace time (stable order)
 
         @functools.partial(jax.jit, **jit_kwargs)
-        def step(params, opt_state, scene: Scene, y, rng):
+        def step(params, opt_state, scene: Scene, y, *mask_and_rng):
             # rng split and input casting live INSIDE the jit: the whole
             # train step is one device dispatch (critical over remote
             # backends where each eager op costs a round-trip)
+            data_mask = mask_and_rng[0] if data_masks else None
+            rng = mask_and_rng[-1]
             rng, dropout_rng = jax.random.split(rng)
             scene = scene.astype(dtype)
             y = y.astype(dtype)
 
             def lf(p):
-                mask = G.knn_mask(scene.pos, k)
+                mask = data_mask if data_masks else G.knn_mask(scene.pos, k)
                 pred = model.apply(
                     p, scene, mask, train=True, rngs={"dropout": dropout_rng}
                 )
@@ -346,11 +361,13 @@ class Trainer:
         stats_every = getattr(self.args, "debug_layer_stats_every", None)
         vecs = []  # per-step packed metric vectors (device; fetched once)
         for step_i in range(n_steps):
-            scene, y = self.dataset.get_batch()
+            batch = self.dataset.get_batch()
+            scene, y = batch[0], batch[1]
             if stats_every and step_i % int(stats_every) == 0:
                 self.log_layer_stats(scene.astype(self.dtype))
+            step_args = (scene, y, batch[2]) if self._data_masks else (scene, y)
             self.params, self.opt_state, self._rng, vec = self._train_step(
-                self.params, self.opt_state, scene, y, self._rng
+                self.params, self.opt_state, *step_args, self._rng
             )
             examples += scene.pos.shape[0]
             vecs.append(vec)
@@ -433,10 +450,12 @@ class Trainer:
             model, loss_fn, k = self.model, self.loss_fn, self.num_neighbors
             targets = self.targets
 
+            data_masks = self._data_masks
+
             @jax.jit
-            def vstep(params, scene, y):
-                mask = G.knn_mask(scene.pos, k)
-                pred = model.apply(params, scene, mask)
+            def vstep(params, scene, y, *mask):
+                m = mask[0] if data_masks else G.knn_mask(scene.pos, k)
+                pred = model.apply(params, scene, m)
                 total, terms = loss_fn(pred, scene, y)
                 return total, terms, percentage_errors(pred, y, targets)
 
@@ -444,9 +463,11 @@ class Trainer:
 
         means: Dict[str, RunningMean] = {}
         for _ in range(num_batches):
-            scene, y = self.dataset.get_batch()
+            batch = self.dataset.get_batch()
+            scene, y = batch[0], batch[1]
+            extra = (batch[2],) if self._data_masks else ()
             total, terms, perc = self._valid_step(
-                self.params, scene.astype(self.dtype), y.astype(self.dtype)
+                self.params, scene.astype(self.dtype), y.astype(self.dtype), *extra
             )
             means.setdefault("loss", RunningMean()).update(total)
             for name, v in {**terms, **perc}.items():
@@ -563,24 +584,12 @@ class Trainer:
 
 
 def create_trainer_from_args(args, resolved_config=None) -> Trainer:
-    """Factory mirroring ``train.main`` wiring (``train.py:35-95``)."""
+    """Factory mirroring ``train.main`` wiring (``train.py:35-95``): the
+    dataloader registry resolves ``dataloader_type`` (default
+    ``{model_type}_nbody``), so ``segnn_nbody_offline`` really trains on the
+    offline charged-systems dataset with its cutoff-rate edge masks."""
+    from ..data.dataloaders import create_dataloader
+
     model = create_model(args.model_type, **args.model_kwargs)
-    dataset = GravityDatasetOtf(
-        dataset_name=args.dataset_name,
-        target=args.target,
-        batch_size=args.batch_size,
-        sim_length=args.sim_length,
-        sample_freq=args.sample_freq,
-        noise_var=args.noise_var,
-        num_nodes=args.num_atoms,
-        vel_norm=args.vel_norm,
-        interaction_strength=args.interaction_strength,
-        dt=args.dt,
-        softening=args.softening,
-        double_precision=args.double_precision,
-        center_of_mass=args.center_of_mass,
-        use_cached=args.use_cached and args.model_path is None,
-        cache_data=args.cache_data,
-        seed=args.data_seed,
-    )
+    dataset = create_dataloader(args, partition="train").dataset
     return Trainer(model, dataset, args, resolved_config=resolved_config)

@@ -47,6 +47,19 @@ class GravityDatasetConfig(BaseModel):
     center_of_mass: bool = False
 
 
+class OfflineDatasetConfig(BaseModel):
+    """Offline charged-systems loader section
+    (``SegnnNbodyOfflineDataLoaderConfig``, ``config_models.py:234-243``)."""
+
+    dataset_name: str = "5_0_0"
+    data_directory: str = "datasets_offline/data"
+    max_samples: int = 1000
+    frame_0: int = 30
+    frame_T: int = 40
+    cutoff_rate: float = 0.0
+    target: str = "pos_dt+vel"
+
+
 class DataloaderConfig(BaseModel):
     batch_size: int = 64
     num_neighbors: Optional[int] = None
@@ -57,6 +70,7 @@ class DataloaderConfig(BaseModel):
     cache_data: bool = True
     seed: Optional[int] = None
     gravity_dataset: GravityDatasetConfig = Field(default_factory=GravityDatasetConfig)
+    offline_dataset: OfflineDatasetConfig = Field(default_factory=OfflineDatasetConfig)
 
 
 class TrainerConfig(BaseModel):
@@ -136,11 +150,15 @@ def _coerce(v: str) -> Any:
         return low == "true"
     if low in ("null", "none"):
         return None
-    for cast in (int, float):
-        try:
-            return cast(v)
-        except ValueError:
-            pass
+    # PEP 515 underscore groups would make int('5_0_0') == 500, silently
+    # mangling string values like run names or the offline '{I}_{S}_{H}'
+    # dataset naming scheme — keep underscored tokens as strings
+    if "_" not in v:
+        for cast in (int, float):
+            try:
+                return cast(v)
+            except ValueError:
+                pass
     return v
 
 
@@ -259,7 +277,17 @@ def flatten_args(cfg: Dict[str, Any]) -> SimpleNamespace:
         softening=dl.gravity_dataset.softening,
         vel_norm=dl.gravity_dataset.vel_norm,
         center_of_mass=dl.gravity_dataset.center_of_mass,
+        # offline loader fields (segnn_nbody_offline, config_models.py:234-243)
+        data_directory=dl.offline_dataset.data_directory,
+        max_samples=dl.offline_dataset.max_samples,
+        frame_0=dl.offline_dataset.frame_0,
+        frame_T=dl.offline_dataset.frame_T,
+        cutoff_rate=dl.offline_dataset.cutoff_rate,
     )
+    if dataloader_type.endswith("_offline"):
+        # the offline section owns dataset_name/target for offline runs
+        ns.dataset_name = dl.offline_dataset.dataset_name
+        ns.target = dl.offline_dataset.target
     for k, v in tr.model_dump().items():
         if k == "validation":
             ns.do_validation = v["do_validation"]

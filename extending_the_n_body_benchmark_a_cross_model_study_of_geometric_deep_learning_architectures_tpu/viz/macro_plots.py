@@ -47,19 +47,11 @@ def plot_macro_histograms(
     for field, (fname, xlabel, bins) in _MACRO_PLOTS.items():
         if field not in gt or field not in pred:
             continue
-        g = np.asarray(gt[field], dtype=np.float64)
-        p = np.asarray(pred[field], dtype=np.float64)
-        lo = min(g.min(), p.min())
-        hi = max(g.max(), p.max())
-        if lo == hi:
-            hi = lo + 1.0
-        edges = np.linspace(lo, hi, bins + 1)
         fig, axs = plt.subplots(2, 1, figsize=(10, 12), sharex=True, sharey=True)
-        for ax, data, title in zip(axs, (g, p), ("Ground Truth", "Predicted")):
-            ax.hist(data, bins=edges, alpha=0.7, edgecolor="black")
-            ax.set_xlabel(xlabel)
-            ax.set_ylabel("Frequency")
-            ax.set_title(f"{xlabel} Distribution — {title}")
+        _hist_pair(
+            axs, gt[field], pred[field], xlabel, bins=bins,
+            title_fmt="{xlabel} Distribution — {title}",
+        )
         fig.tight_layout()
         fig.savefig(os.path.join(save_dir, fname))
         plt.close(fig)
@@ -91,17 +83,23 @@ def plot_trajectories_2d(
     plt.close(fig)
 
 
-def _hist_pair(axs, g, p, xlabel, bins=60):
+def _hist_pair(axs, g, p, xlabel, bins=60, title_fmt="{xlabel} — {title}"):
+    """Shared-bin GT-vs-predicted histogram pair (single implementation for
+    both the macro and extended multiplots).  NaN-robust: exploded rollouts
+    can carry NaN frames."""
     g, p = np.asarray(g, np.float64).ravel(), np.asarray(p, np.float64).ravel()
-    lo, hi = min(g.min(), p.min()), max(g.max(), p.max())
+    lo = min(np.nanmin(g, initial=np.inf), np.nanmin(p, initial=np.inf))
+    hi = max(np.nanmax(g, initial=-np.inf), np.nanmax(p, initial=-np.inf))
+    if not np.isfinite(lo) or not np.isfinite(hi):
+        lo, hi = 0.0, 1.0
     if lo == hi:
         hi = lo + 1.0
     edges = np.linspace(lo, hi, bins + 1)
     for ax, data, title in zip(axs, (g, p), ("Ground Truth", "Predicted")):
-        ax.hist(data, bins=edges, alpha=0.7, edgecolor="black")
+        ax.hist(data[np.isfinite(data)], bins=edges, alpha=0.7, edgecolor="black")
         ax.set_xlabel(xlabel)
         ax.set_ylabel("Frequency")
-        ax.set_title(f"{xlabel} — {title}")
+        ax.set_title(title_fmt.format(xlabel=xlabel, title=title))
 
 
 def plot_extended_multiplots(

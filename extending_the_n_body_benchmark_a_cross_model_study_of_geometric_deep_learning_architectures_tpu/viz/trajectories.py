@@ -195,6 +195,8 @@ def aggregate_checkpoint_plots_pdf(
                 plt.close(fig)
                 wrote = True
     if not wrote:
-        os.remove(out)
+        # matplotlib >= 3.10 never creates a file for an empty PdfPages
+        if os.path.exists(out):
+            os.remove(out)
         return None
     return out

@@ -175,3 +175,61 @@ def test_self_feed_cli_multi_draw(tmp_run_dir):
     assert os.path.exists(
         os.path.join(out, "draw_01", "collision_distributions.json")
     )
+
+
+def test_offline_dataloader_type_trains_on_offline_data(tmp_run_dir):
+    """dataloader_type=segnn_nbody_offline must really train on the offline
+    charged-systems dataset with its cutoff-rate edge masks (not silently
+    fall back to the on-the-fly gravity dataset)."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.offline_datagen import (
+        generate_offline_dataset,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.offline_dataset import (
+        OfflineNBodyDataset,
+    )
+
+    data_dir = os.path.join(str(tmp_run_dir), "offline_data")
+    generate_offline_dataset(
+        data_dir, n_isolated=5, num_train=6, num_valid=2, num_test=2,
+        length=200, length_test=200, sample_freq=50, seed=0,
+    )
+    cfg = {
+        "main": {"model_type": "egnn_mc", "dataloader_type": "segnn_nbody_offline"},
+        "models": {
+            "egnn_mc": dict(
+                num_layers=1, hidden_node_dim=16, hidden_edge_dim=16,
+                hidden_coord_dim=16,
+            )
+        },
+        "dataloaders": {
+            "segnn_nbody_offline": {
+                "batch_size": 2,
+                "offline_dataset": {
+                    "dataset_name": "5_0_0",
+                    "data_directory": data_dir,
+                    "frame_0": 1,
+                    "frame_T": 3,
+                    "cutoff_rate": 0.3,
+                },
+            }
+        },
+        "trainers": {
+            "trainer_nbody": {
+                "steps_per_epoch": 2,
+                "train_steps": 1,
+                "save_model_every": 99,
+                "test_macros_every": 99,  # offline data has no GT rollouts
+                "seed": 0,
+            }
+        },
+    }
+    args = flatten_args(cfg)
+    trainer = create_trainer_from_args(args, resolved_config=cfg)
+    assert isinstance(trainer.dataset, OfflineNBodyDataset)
+    assert trainer._data_masks
+    # cutoff_rate=0.3 prunes edges: the data mask is sparser than FC
+    _, _, mask = trainer.dataset.get_batch()
+    n = trainer.dataset.num_nodes
+    assert int(np.asarray(mask).sum()) < mask.shape[0] * n * (n - 1)
+    log = trainer.train_one_epoch()
+    assert np.isfinite(log["train/loss"])
