@@ -52,7 +52,20 @@ GH200_TRAIN_STEPS_PER_SEC = {
 
 import os
 
-MODE = os.environ.get("BENCH_MODE", "rollout")  # rollout | train
+MODE = os.environ.get("BENCH_MODE", "rollout")  # rollout | train | datagen
+
+# TPU rollout configs (name, use_pallas, dtype_name, pallas_tile,
+# compute_dtype) — single source shared with scripts/profile_rollout.py.
+# f32 tile 64 exceeds the 16M VMEM budget at He=128/N=100 (verified on
+# v5e); 32 is the largest working f32 tile there.  "mixed" = f32
+# coords/integration with a bf16 message stack: bf16-class speed at
+# f32-class rollout stability.
+TPU_ROLLOUT_CONFIGS = [
+    ("xla-bfloat16", False, "bfloat16", None, ""),
+    ("xla-mixed-bf16", False, "float32", None, "bfloat16"),
+    ("pallas-mixed-bf16-t32", True, "float32", 32, "bfloat16"),
+    ("pallas-bf16-t64", True, "bfloat16", 64, ""),
+]
 N_BODIES = int(os.environ.get("BENCH_N_BODIES", 100 if MODE == "rollout" else 5))
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
 ROLLOUT_STEPS = int(os.environ.get("BENCH_STEPS", 500))
@@ -81,11 +94,17 @@ def make_scene(dtype):
 def measure(
     use_pallas: bool, dtype, params, tile=None, label=None, compute_dtype=""
 ) -> float:
-    kwargs = {"use_pallas": use_pallas}
-    if use_pallas and tile is not None:
-        kwargs["pallas_tile"] = tile
-    if compute_dtype:
-        kwargs["compute_dtype"] = compute_dtype
+    # use_pallas/pallas_tile/compute_dtype are egnn_mc-only knobs; other
+    # models bench their plain dense path (their dtype comes from the scene)
+    kwargs = {}
+    if MODEL == "egnn_mc":
+        kwargs["use_pallas"] = use_pallas
+        if use_pallas and tile is not None:
+            kwargs["pallas_tile"] = tile
+        if compute_dtype:
+            kwargs["compute_dtype"] = compute_dtype
+    elif use_pallas or compute_dtype:
+        raise ValueError(f"config {label or 'pallas/mixed'} is egnn_mc-only")
     model = create_model(MODEL, **kwargs)
     scene0 = make_scene(dtype)
     cast = jax.jit(
@@ -145,22 +164,30 @@ def measure_train(dtype, label) -> float:
     loss_fn = build_loss_fn(SimpleNamespace(target="pos_dt+vel"))
 
     @jax.jit
-    def step(params, opt_state, scene, y, mask):
+    def step(params, opt_state, scene, y, mask, rng):
+        # train=True + dropout rng matches the real trainer step
+        # (trainer.py's lf applies with train=True and rngs={'dropout': ...})
+        # — benching the eval-mode graph would omit dropout ops for
+        # graph_transformer / equiformer_v2 and overstate steps/s
+        rng, dk = jax.random.split(rng)
+
         def l(p):
-            total, _ = loss_fn(model.apply(p, scene, mask), scene, y)
+            pred = model.apply(p, scene, mask, train=True, rngs={"dropout": dk})
+            total, _ = loss_fn(pred, scene, y)
             return total
 
         loss, grads = jax.value_and_grad(l)(params)
         updates, opt_state = tx.update(grads, opt_state, params)
-        return optax.apply_updates(params, updates), opt_state, loss
+        return optax.apply_updates(params, updates), opt_state, loss, rng
 
+    rng = jax.random.PRNGKey(3)
     t0 = time.time()
-    params, opt_state, loss = step(params, opt_state, scene, y, mask)
+    params, opt_state, loss, rng = step(params, opt_state, scene, y, mask, rng)
     _ = float(loss)
     compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(TRAIN_STEPS):
-        params, opt_state, loss = step(params, opt_state, scene, y, mask)
+        params, opt_state, loss, rng = step(params, opt_state, scene, y, mask, rng)
     _ = float(loss)  # barrier: fetch a value (axon-safe sync)
     dt = time.time() - t0
     sps = TRAIN_STEPS / dt
@@ -278,19 +305,11 @@ def main() -> None:
     results = {}
     results["xla-float32"] = measure(False, jnp.float32, params)
     if on_tpu:
-        # f32 tile 64 exceeds the 16M VMEM budget at He=128/N=100
-        # (verified on v5e); 32 is the largest working f32 tile there.
-        configs = [
-            ("xla-bfloat16", False, jnp.bfloat16, None, ""),
-            # mixed: f32 coords/integration, bf16 message stack — bf16-class
-            # speed at f32-class rollout stability
-            ("xla-mixed-bf16", False, jnp.float32, None, "bfloat16"),
-            ("pallas-mixed-bf16-t32", True, jnp.float32, 32, "bfloat16"),
-            ("pallas-bf16-t64", True, jnp.bfloat16, 64, ""),
-        ]
-        for name, use_pallas, dtype, tile, cdt in configs:
+        for name, use_pallas, dtype_name, tile, cdt in TPU_ROLLOUT_CONFIGS:
             try:
-                results[name] = measure(use_pallas, dtype, params, tile, name, cdt)
+                results[name] = measure(
+                    use_pallas, jnp.dtype(dtype_name), params, tile, name, cdt
+                )
             except Exception as e:  # keep the bench robust to kernel issues
                 log(f"{name} failed: {e!r}")
 
@@ -313,5 +332,9 @@ if __name__ == "__main__":
         main_train()
     elif MODE == "datagen":
         main_datagen()
-    else:
+    elif MODE == "rollout":
         main()
+    else:
+        raise SystemExit(
+            f"unknown BENCH_MODE={MODE!r} (expected rollout | train | datagen)"
+        )

@@ -31,8 +31,13 @@ def load_run(
     run_dir: str,
     checkpoint: str = "model.ckpt",
     n_bodies: Optional[int] = None,
+    seed: Optional[int] = None,
 ) -> Tuple[object, dict, GravityDatasetOtf, SimpleNamespace]:
-    """Returns ``(model, params, dataset, args)`` for a finished run dir."""
+    """Returns ``(model, params, dataset, args)`` for a finished run dir.
+
+    ``seed`` seeds the re-instantiated dataset's simulation rng so
+    ground-truth draws are reproducible (metadata records no seed — without
+    one the dataset seeds itself from SystemRandom)."""
     with open(os.path.join(run_dir, "training_args.json")) as f:
         args = SimpleNamespace(**json.load(f)["args"])
     model = create_model(args.model_type, **(args.model_kwargs or {}))
@@ -40,6 +45,6 @@ def load_run(
     params = ckpt["params"]
     metadata = find_dataset_metadata(run_dir) or {}
     dataset = GravityDatasetOtf.from_metadata(
-        metadata, n_bodies=n_bodies, cache_data=False
+        metadata, n_bodies=n_bodies, cache_data=False, seed=seed
     )
     return model, params, dataset, args

@@ -84,14 +84,15 @@ def main() -> None:
         make_rollout_fn,
     )
 
-    # mirror bench.py's config names, incl. the pallas variants
-    known = {
-        "xla-float32": (jnp.float32, "", {}),
-        "xla-bfloat16": (jnp.bfloat16, "", {}),
-        "xla-mixed-bf16": (jnp.float32, "bfloat16", {}),
-        "pallas-mixed-bf16-t32": (jnp.float32, "bfloat16", {"use_pallas": True, "pallas_tile": 32}),
-        "pallas-bf16-t64": (jnp.bfloat16, "", {"use_pallas": True, "pallas_tile": 64}),
-    }
+    # config table shared with the headline bench (single source of truth)
+    import bench
+
+    known = {"xla-float32": (jnp.float32, "", {})}
+    for name, use_pallas, dtype_name, tile, cdt in bench.TPU_ROLLOUT_CONFIGS:
+        mkw = {}
+        if use_pallas:
+            mkw = {"use_pallas": True, "pallas_tile": tile}
+        known[name] = (jnp.dtype(dtype_name), cdt, mkw)
     if args.config not in known:
         raise SystemExit(f"unknown --config {args.config}; one of {sorted(known)}")
     dtype, compute_dtype, mkw = known[args.config]

@@ -62,8 +62,15 @@ def main(argv=None):
     import jax
 
     model, params, dataset, targs = load_run(
-        args.run_dir, checkpoint=args.checkpoint, n_bodies=args.n_bodies
+        args.run_dir, checkpoint=args.checkpoint, n_bodies=args.n_bodies,
+        seed=args.seed,  # reproducible GT draws (dataset rng)
     )
+    if args.steps is None:
+        # match the trainer's own checkpoint evals: a run trained with
+        # self_feed_limit_steps rolls every checkpoint out that far, and
+        # longer closed-loop rollouts drift more — defaulting to the full
+        # T would make re-rolled draws incomparable to the logged series
+        args.steps = getattr(targs, "self_feed_limit_steps", None)
     if args.train_mode == "auto":
         train_mode = bool(getattr(targs, "self_feed_train_mode", True))
     else:
@@ -102,8 +109,15 @@ def main(argv=None):
 
     import statistics
 
-    best = max(draws, key=lambda d: d["combined_pvalue"])
-    median = statistics.median(d["combined_pvalue"] for d in draws)
+    # NaN-safe selection: a degenerate draw (all-NaN macros) must not win
+    # max() via NaN-comparison quirks or poison the median
+    def _p(d):
+        v = d["combined_pvalue"]
+        return v if v == v else -1.0
+
+    best = max(draws, key=_p)
+    valid = sorted(_p(d) for d in draws if _p(d) >= 0.0)
+    median = statistics.median(valid) if valid else float("nan")
     for k, v in best["per_macro"].items():
         print(f"  ks p [{k}] (best draw): {v:.4g}")
     print(f"steps survived (best draw): {best['steps_survived']}")

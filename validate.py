@@ -33,10 +33,20 @@ def main(argv=None):
         load_run,
     )
 
+    import jax.numpy as jnp
+
     model, params, dataset, targs = load_run(args.run_dir, checkpoint=args.checkpoint)
     loss_fn = build_loss_fn(targs)
     k = getattr(targs, "num_neighbors", None) or dataset.num_nodes - 1
     targets = targs.target.split("+")
+    # evaluate in the run's training dtype so valid/loss is comparable to
+    # the trainer's own logged validation (trainer casts via scene.astype)
+    dtype = {
+        "double": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+        "single": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        "autocast": jnp.bfloat16,
+    }[getattr(targs, "precision_mode", "single")]
 
     @jax.jit
     def evaluate(params, scene, y):
@@ -45,15 +55,22 @@ def main(argv=None):
         total, terms = loss_fn(pred, scene, y)
         return total, terms, percentage_errors(pred, y, targets)
 
-    totals, all_perc = [], {}
+    totals, all_terms, all_perc = [], {}, {}
     for _ in range(args.batches):
-        scene, y = dataset.get_batch()
-        total, terms, perc = evaluate(params, scene, y)
+        batch = dataset.get_batch()
+        scene, y = batch[0], batch[1]
+        total, terms, perc = evaluate(
+            params, scene.astype(dtype), y.astype(dtype)
+        )
         totals.append(float(total))
+        for key, v in terms.items():
+            all_terms.setdefault(key, []).append(float(v))
         for key, v in perc.items():
             all_perc.setdefault(key, []).append(float(v))
 
     print(f"valid/loss: {sum(totals)/len(totals):.6f} over {args.batches} batches")
+    for key, vals in all_terms.items():
+        print(f"valid/{key}: {sum(vals)/len(vals):.6f}")
     for key, vals in all_perc.items():
         print(f"valid/{key}: {sum(vals)/len(vals):.3f}%")
 
