@@ -28,11 +28,23 @@ class MetricsLogger:
             try:
                 import wandb
 
+                # the reference persists the run id into a `wandb_id` file
+                # and reuses it with resume="allow" so a resumed training
+                # continues the SAME wandb run (``trainer.py:543-570``)
+                id_path = os.path.join(run_dir, "wandb_id")
+                run_id = None
+                if os.path.exists(id_path):
+                    with open(id_path) as f:
+                        run_id = f.read().strip() or None
                 self._wandb = wandb.init(
                     project=os.getenv("WANDB_PROJECT", "nbody"),
                     name=os.getenv("WANDB_NAME", run_dir),
+                    id=run_id,
                     resume="allow",
                 )
+                if self._wandb is not None:
+                    with open(id_path, "w") as f:
+                        f.write(str(self._wandb.id))
             except Exception:
                 self._wandb = None
 
