@@ -31,7 +31,13 @@ def get_lib() -> Optional[ctypes.CDLL]:
     path = ensure_built()
     if path is None:
         return None
-    lib = ctypes.CDLL(path)
+    try:
+        lib = ctypes.CDLL(path)
+    except OSError:
+        # corrupt/incompatible .so (e.g. leftover from an interrupted build
+        # predating the atomic-replace fix) — degrade to NumPy rather than
+        # crashing every compute_all_macros call
+        return None
     dp = ctypes.POINTER(ctypes.c_double)
     i64 = ctypes.c_int64
     lib.count_stickings_collisions.argtypes = [
@@ -55,10 +61,23 @@ def _ptr(a: np.ndarray):
     return a.ctypes.data_as(ctypes.POINTER(ctypes.c_double))
 
 
+def _numpy_twin(name: str):
+    """Drop-in fallback when the native library is unavailable — the
+    wrappers advertise identical behaviour to their :mod:`.macros` twins,
+    so a missing compiler must not turn into an AttributeError on None."""
+    from . import macros
+
+    return getattr(macros, name)
+
+
 def count_stickings_and_collisions(
     loc: np.ndarray, time_threshold: int = 3, distance_threshold: float = 0.5
 ) -> Tuple[np.ndarray, np.ndarray]:
     lib = get_lib()
+    if lib is None:
+        return _numpy_twin("count_stickings_and_collisions")(
+            loc, time_threshold, distance_threshold
+        )
     loc = _prep(loc)
     S, T, N, _ = loc.shape
     stick = np.zeros(S)
@@ -73,6 +92,8 @@ def count_balls_leaving_defined_area(
     loc: np.ndarray, distance_threshold: float = 15.0
 ) -> np.ndarray:
     lib = get_lib()
+    if lib is None:
+        return _numpy_twin("count_balls_leaving_defined_area")(loc, distance_threshold)
     loc = _prep(loc)
     S, T, N, _ = loc.shape
     out = np.zeros(S)
@@ -82,6 +103,8 @@ def count_balls_leaving_defined_area(
 
 def max_com_distance(loc: np.ndarray) -> np.ndarray:
     lib = get_lib()
+    if lib is None:
+        return _numpy_twin("max_com_distance")(loc)
     loc = _prep(loc)
     S, T, N, _ = loc.shape
     out = np.zeros(S)
@@ -91,6 +114,8 @@ def max_com_distance(loc: np.ndarray) -> np.ndarray:
 
 def count_sharp_turns(vel: np.ndarray, angle_threshold: float = 30.0) -> np.ndarray:
     lib = get_lib()
+    if lib is None:
+        return _numpy_twin("count_sharp_turns")(vel, angle_threshold)
     vel = _prep(vel)
     S, T, N, _ = vel.shape
     out = np.zeros(S)
@@ -102,6 +127,10 @@ def count_group_collisions(
     loc: np.ndarray, time_threshold: int = 2, distance_threshold: float = 2.0
 ) -> np.ndarray:
     lib = get_lib()
+    if lib is None:
+        return _numpy_twin("count_group_collisions")(
+            loc, time_threshold, distance_threshold
+        )
     loc = _prep(loc)
     S, T, N, _ = loc.shape
     out = np.zeros(S)

@@ -22,13 +22,23 @@ def library_path() -> str:
 
 
 def build(verbose: bool = False) -> str:
+    # link to a per-process temp file and os.replace() it into place:
+    # concurrent builders (pytest workers, parallel evals) or an interrupted
+    # link must never leave a half-written .so at the final path — dlopen of
+    # a truncated ELF crashes every later consumer
+    tmp = f"{_LIB}.tmp.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-shared", "-fPIC", "-std=c++17",
-        _SRC, "-o", _LIB,
+        _SRC, "-o", tmp,
     ]
-    res = subprocess.run(cmd, capture_output=True, text=True)
-    if res.returncode != 0:
-        raise RuntimeError(f"native build failed:\n{res.stderr}")
+    try:
+        res = subprocess.run(cmd, capture_output=True, text=True)
+        if res.returncode != 0:
+            raise RuntimeError(f"native build failed:\n{res.stderr}")
+        os.replace(tmp, _LIB)  # atomic within the same directory
+    finally:
+        if os.path.exists(tmp):
+            os.remove(tmp)
     if verbose:
         print(f"built {_LIB}")
     return _LIB

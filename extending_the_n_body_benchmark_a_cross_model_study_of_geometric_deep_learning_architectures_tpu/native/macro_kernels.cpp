@@ -17,6 +17,7 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <limits>
 #include <vector>
 
 namespace {
@@ -141,6 +142,7 @@ void max_com_distance(const double* loc, int64_t S, int64_t T, int64_t N,
     com0[1] /= N;
     com0[2] /= N;
     double best = 0;
+    bool has_nan = false;
     for (int64_t t = 1; t < T; ++t) {
       double com[3] = {0, 0, 0};
       for (int64_t n = 0; n < N; ++n) {
@@ -153,9 +155,13 @@ void max_com_distance(const double* loc, int64_t S, int64_t T, int64_t N,
       com[1] /= N;
       com[2] /= N;
       const double d = dist3(com0, com);
+      // np.max propagates NaN: a diverged rollout's NaN frames must yield
+      // NaN here too, or native and NumPy backends score different
+      // com_movement distributions
+      if (std::isnan(d)) has_nan = true;
       if (d > best) best = d;
     }
-    out[s] = best;
+    out[s] = has_nan ? std::numeric_limits<double>::quiet_NaN() : best;
   }
 }
 
@@ -242,6 +248,7 @@ void count_group_collisions(const double* loc, int64_t S, int64_t T, int64_t N,
 
     double group = 0;
     std::vector<uint8_t> cross(T);
+    std::vector<uint8_t> suffix(T + 1);
     for (int64_t k = 0; k < P; ++k) {
       if (stuck_pairs[k].empty()) continue;
       const int a0 = pi[k], a1 = pj[k];
@@ -249,6 +256,21 @@ void count_group_collisions(const double* loc, int64_t S, int64_t T, int64_t N,
         if (a0 == tr.i || a0 == tr.j || a0 == tr.k || a1 == tr.i ||
             a1 == tr.j || a1 == tr.k)
           continue;  // must be disjoint
+        // cheap overlap pre-test first: most (pair, triplet) combinations
+        // have no overlapping stuck intervals, so the O(T) cross/suffix
+        // scan below would be wasted work for them
+        bool any_overlap = false;
+        for (const auto& pv : stuck_pairs[k]) {
+          for (const auto& tv : tr.ivs) {
+            if ((pv.start > tv.start ? pv.start : tv.start) <=
+                (pv.end < tv.end ? pv.end : tv.end)) {
+              any_overlap = true;
+              break;
+            }
+          }
+          if (any_overlap) break;
+        }
+        if (!any_overlap) continue;
         // cross contact between any pair body and any triplet body
         const int tb[3] = {tr.i, tr.j, tr.k};
         for (int64_t t = 0; t < T; ++t) {
@@ -260,9 +282,8 @@ void count_group_collisions(const double* loc, int64_t S, int64_t T, int64_t N,
           }
           cross[t] = any;
         }
-        // suffix any: first precompute whether cross contact occurs at or
-        // after each step
-        std::vector<uint8_t> suffix(T + 1, 0);
+        // suffix any: whether cross contact occurs at or after each step
+        suffix[T] = 0;
         for (int64_t t = T - 1; t >= 0; --t)
           suffix[t] = cross[t] | suffix[t + 1];
         for (const auto& pv : stuck_pairs[k]) {

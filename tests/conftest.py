@@ -9,18 +9,26 @@ env cleared (suspending pytest's fd capture so the child's output reaches
 the terminal)."""
 
 import os
+import re
 import subprocess
 import sys
 
 _NEEDS_REEXEC = bool(os.environ.get("PALLAS_AXON_POOL_IPS"))
 
+
+def _force_cpu8(env):
+    """Pin the hermetic backend: CPU with exactly 8 virtual devices,
+    overriding any inherited JAX_PLATFORMS / device-count flag (an exported
+    JAX_PLATFORMS=tpu or =4 count would silently change what the suite
+    tests)."""
+    env["JAX_PLATFORMS"] = "cpu"
+    flags = env.get("XLA_FLAGS", "")
+    flags = re.sub(r"--xla_force_host_platform_device_count=\d+", "", flags)
+    env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+
 if not _NEEDS_REEXEC:
-    os.environ.setdefault("JAX_PLATFORMS", "cpu")
-    _flags = os.environ.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in _flags:
-        os.environ["XLA_FLAGS"] = (
-            _flags + " --xla_force_host_platform_device_count=8"
-        ).strip()
+    _force_cpu8(os.environ)
 
     import jax
 
@@ -49,11 +57,13 @@ def pytest_configure(config):
             pass
     env = dict(os.environ)
     env["PALLAS_AXON_POOL_IPS"] = ""  # sitecustomize skips axon registration
-    env["JAX_PLATFORMS"] = "cpu"
-    flags = env.get("XLA_FLAGS", "")
-    if "xla_force_host_platform_device_count" not in flags:
-        env["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+    _force_cpu8(env)
     rc = subprocess.call(
         [sys.executable, "-m", "pytest", *config.invocation_params.args], env=env
     )
-    os._exit(rc)
+    # end this pytest run with the child's status via pytest's own exit path
+    # (os._exit would skip plugin teardown and kill programmatic callers of
+    # pytest.main outright)
+    import pytest
+
+    pytest.exit(f"re-ran hermetically (child exit {rc})", returncode=rc)

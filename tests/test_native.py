@@ -68,3 +68,38 @@ def test_compute_all_macros_uses_native(monkeypatch):
     without = M.compute_all_macros(loc, vel)
     for k in with_native:
         np.testing.assert_allclose(with_native[k], without[k], rtol=1e-12)
+
+
+def test_max_com_nan_parity():
+    # diverged rollouts carry NaN frames; np.max propagates NaN and the
+    # native kernel must agree or KS scoring becomes backend-dependent
+    loc = walk(seed=5)
+    loc[0, 10, 0, 0] = np.nan
+    got = native.max_com_distance(loc)
+    want = M.max_com_distance(loc)
+    assert np.isnan(got[0]) and np.isnan(want[0])
+    np.testing.assert_allclose(got[1:], want[1:], rtol=1e-12)
+
+
+def test_wrappers_fall_back_without_native(monkeypatch):
+    monkeypatch.setenv("NBX_DISABLE_NATIVE", "1")
+    monkeypatch.setattr(native, "_lib", None)
+    monkeypatch.setattr(native, "_tried", False)
+    loc = walk(seed=6, S=2, T=30, N=4)
+    vel = np.diff(loc, axis=1, prepend=loc[:, :1])
+    # every wrapper must degrade to its NumPy twin, not crash on lib=None
+    s, c = native.count_stickings_and_collisions(loc)
+    np.testing.assert_array_equal(s, M.count_stickings_and_collisions(loc)[0])
+    np.testing.assert_array_equal(
+        native.count_balls_leaving_defined_area(loc),
+        M.count_balls_leaving_defined_area(loc),
+    )
+    np.testing.assert_allclose(
+        native.max_com_distance(loc), M.max_com_distance(loc), rtol=1e-12
+    )
+    np.testing.assert_array_equal(
+        native.count_sharp_turns(vel), M.count_sharp_turns(vel)
+    )
+    np.testing.assert_array_equal(
+        native.count_group_collisions(loc), M.count_group_collisions(loc)
+    )
