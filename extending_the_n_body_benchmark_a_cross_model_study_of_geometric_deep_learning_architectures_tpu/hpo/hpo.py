@@ -373,6 +373,11 @@ def run_study(
         for h in history:
             pruner.register(h.get("intermediates") or {})
 
+    # per-trial runtime telemetry, the reference's ``steps_per_min`` /
+    # ``peak_vram_mb`` trial fields (``hpo.py:435-462``) — filled by
+    # default_objective, copied into the trial record by the study loop
+    last_telemetry: Dict[str, float] = {}
+
     def default_objective(model_kwargs, trainer_overrides, report=None):
         from ..train.trainer import create_trainer_from_args
 
@@ -396,6 +401,9 @@ def run_study(
         )
         args = flatten_args(cfg)
         trainer = create_trainer_from_args(args)
+        t_obj = time.time()
+        last_telemetry.clear()  # cleared up-front: a pruned/failed trial
+        # must not inherit the previous trial's numbers
         if report is None and trial_minutes is None:
             trainer.train()
         else:
@@ -426,6 +434,19 @@ def run_study(
                 ):
                     break
             trainer.save_model(final=True)
+        minutes = max((time.time() - t_obj) / 60.0, 1e-9)
+        last_telemetry["steps_per_min"] = (
+            trainer.step_count * steps_per_epoch / minutes
+        )
+        try:  # TPU analogue of torch.cuda.max_memory_allocated
+            import jax
+
+            stats = jax.local_devices()[0].memory_stats() or {}
+            peak = stats.get("peak_bytes_in_use")
+            if peak is not None:
+                last_telemetry["peak_hbm_mb"] = peak / 2**20
+        except Exception:
+            pass
         return score_run(trainer.save_dir_path)
 
     objective = objective_fn or default_objective
@@ -474,6 +495,7 @@ def run_study(
         if pruner is not None:
             pruner.register(intermediates)
         record["seconds"] = time.time() - t0
+        record.update(last_telemetry)
         history.append(record)
         _atomic_append(store, record)
 

@@ -194,6 +194,8 @@ def test_run_study_time_matched(tmp_run_dir):
     assert len(records) == 1 and records[0]["status"] == "done"
     # no width bisection in time_matched mode
     assert records[0]["n_params"] is None
+    # runtime telemetry (reference hpo.py:435-462 steps_per_min/peak_vram_mb)
+    assert records[0]["steps_per_min"] > 0
     # stopped after 1 epoch: eval_every=3 never reached -> floor score
     assert best["value"] == pytest.approx(math.log(1e-300))
     run_dirs = list((tmp_run_dir / "runs" / "egnn_mc").iterdir())
