@@ -327,7 +327,46 @@ def main() -> None:
     )
 
 
+def _wait_for_idle_chip(max_wait_s: float = 1800.0) -> None:
+    """Block until no training/rollout process holds the (single) TPU.
+
+    The axon tunnel serves one client at a time; benching while a queued
+    training run owns the chip would contend and under-report.  Scans
+    /proc cmdlines (read-only — never signals anything) for train.py /
+    self_feed.py processes other than ourselves and waits them out,
+    bounded by ``max_wait_s`` (then proceeds anyway).
+    """
+    import glob
+
+    def busy() -> bool:
+        me = os.getpid()
+        for p in glob.glob("/proc/[0-9]*/cmdline"):
+            try:
+                pid = int(p.split("/")[2])
+                if pid == me:
+                    continue
+                with open(p, "rb") as f:
+                    cmd = f.read().decode(errors="replace").replace("\0", " ")
+            except (OSError, ValueError):
+                continue
+            if ("train.py" in cmd or "self_feed.py" in cmd) and "python" in cmd:
+                return True
+        return False
+
+    deadline = time.time() + max_wait_s
+    waited = False
+    while busy() and time.time() < deadline:
+        if not waited:
+            print("bench: TPU busy (training run in progress), waiting...", file=sys.stderr)
+            waited = True
+        time.sleep(15.0)
+    if waited:
+        print("bench: TPU free, starting", file=sys.stderr)
+
+
 if __name__ == "__main__":
+    if os.environ.get("BENCH_NO_WAIT") != "1":
+        _wait_for_idle_chip()
     if MODE == "train":
         main_train()
     elif MODE == "datagen":
