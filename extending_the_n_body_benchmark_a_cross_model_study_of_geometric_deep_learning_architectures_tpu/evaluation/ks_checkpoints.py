@@ -285,9 +285,13 @@ def main(argv=None):  # pragma: no cover - thin CLI
         out_csv = args.multi_out or "combined_pvalues_summary.csv"
         rows = combined_pvalues_report(args.run_path, out_csv)
         for r in rows:
+            # a run whose checkpoints all lack macro JSONs has no valid
+            # combined p (best is None) — report it instead of crashing
+            bp = r["best_combined_pvalue"]
+            ptxt = f"{bp:.3g}" if bp is not None else "n/a (no scored checkpoints)"
             print(
                 f"{r['model']}: best ckpt {r['best_checkpoint']} "
-                f"p={r['best_combined_pvalue']:.3g} "
+                f"p={ptxt} "
                 f"first p>=0.05: {r['first_checkpoint_p_ge_0.05']}"
             )
         if args.hours:

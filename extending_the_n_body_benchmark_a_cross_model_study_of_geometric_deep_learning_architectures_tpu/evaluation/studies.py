@@ -136,6 +136,20 @@ def compare_dt(
     for dt in dt_values:
         sample_freq = max(int(round(frame_spacing / dt)), 1)
         sim_length = num_frames * sample_freq
+        actual_spacing = sample_freq * dt
+        spacing_err = abs(actual_spacing - frame_spacing) / frame_spacing
+        if spacing_err > 1e-6:
+            # dt doesn't divide the base frame spacing: the constant-spacing
+            # invariant the docstring promises is violated, and frame-count
+            # macros (sticking/leaving/sharp turns) see a different grid —
+            # the KS sensitivity at this dt is confounded; say so loudly.
+            import warnings
+
+            warnings.warn(
+                f"compare_dt: dt={dt} gives frame spacing {actual_spacing:.6g}"
+                f" vs base {frame_spacing:.6g} ({spacing_err:.1%} off) — "
+                "frame-grid macros are confounded at this dt"
+            )
         ds = GravityDatasetOtf(
             dataset_name=base_dataset.dataset_name,
             target=base_dataset.target,
@@ -160,6 +174,8 @@ def compare_dt(
             "combined": fisher_combine([per[k] for k in SCORED_MACROS]),
             "sim_length": sim_length,
             "sample_freq": sample_freq,
+            "frame_spacing": actual_spacing,
+            "frame_spacing_rel_error": spacing_err,
         }
     out = {"base_dt": base_dataset.dt, "results": {str(k): v for k, v in results.items()}}
     if save_dir:

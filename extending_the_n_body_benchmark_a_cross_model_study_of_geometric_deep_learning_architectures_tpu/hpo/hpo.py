@@ -3,7 +3,7 @@
 Port of ``hpo/hpo.py`` (Optuna TPE + MedianPruner + sqlite).  Optuna is not
 available in this image, so the sampler is a self-contained TPE
 (good/bad-quantile kernel density ratio, the same algorithm family) with a
-resumable JSONL trial store; if optuna *is* importable it is used directly.
+resumable JSONL trial store.
 
 Reference parity points:
 * search spaces per model           (``hpo.py:87-169``) — lr log-uniform
@@ -34,19 +34,6 @@ PARAM_TARGETS = {"param_small": 1_800_000, "param_medium": 10_000_000}
 
 
 # ----------------------------------------------------------------- sampler
-
-
-class Trial:
-    def __init__(self, params: Dict[str, Any], number: int):
-        self.params = params
-        self.number = number
-        self.value: Optional[float] = None
-
-    def suggest_float(self, name, lo, hi, log=False):
-        return self.params[name]
-
-    def suggest_categorical(self, name, choices):
-        return self.params[name]
 
 
 class TPESampler:
@@ -402,8 +389,6 @@ def run_study(
         args = flatten_args(cfg)
         trainer = create_trainer_from_args(args)
         t_obj = time.time()
-        last_telemetry.clear()  # cleared up-front: a pruned/failed trial
-        # must not inherit the previous trial's numbers
         if report is None and trial_minutes is None:
             trainer.train()
         else:
@@ -454,6 +439,10 @@ def run_study(
 
     while len(history) < trials:
         t0 = time.time()
+        # cleared per trial, before the objective can fail: a trial that
+        # crashes in config/trainer construction must not inherit the
+        # previous trial's steps_per_min/peak_hbm_mb into its record
+        last_telemetry.clear()
         params = suggest_trial(model_type, history, seed)
         model_kwargs, trainer_overrides = trial_to_overrides(model_type, params)
         n_params = None
@@ -473,7 +462,10 @@ def run_study(
 
         def report(step: int, value: float) -> None:
             intermediates[int(step)] = float(value)
-            record["value"] = float(value)  # best-so-far partial value
+            # best-so-far partial value (a late-pruned trial's record keeps
+            # its best intermediate, not the pruning-triggering one)
+            prev = record["value"]
+            record["value"] = float(value) if prev is None else max(prev, float(value))
             if pruner is not None and pruner.should_prune(int(step), float(value)):
                 raise PrunedTrial(f"step {step}: {value} below running median")
 

@@ -17,6 +17,8 @@ Multi-host: call :func:`initialize_distributed` before mesh construction;
 
 from __future__ import annotations
 
+import os
+import warnings
 from typing import Optional, Sequence
 
 import jax
@@ -28,11 +30,20 @@ BODY_AXIS = "body"
 
 
 def initialize_distributed(**kwargs) -> None:
-    """Multi-host init (``jax.distributed.initialize``); no-op if single."""
+    """Multi-host init (``jax.distributed.initialize``); no-op if the
+    process is single-host or already initialized — but a *failed* init on
+    a genuinely multi-host launch (bad coordinator address) must not be
+    swallowed, or training silently proceeds on one host's chips."""
+    multi_host = bool(
+        kwargs.get("num_processes", 0) and int(kwargs["num_processes"]) > 1
+    ) or os.environ.get("JAX_NUM_PROCESSES", "").strip() not in ("", "0", "1")
     try:
         jax.distributed.initialize(**kwargs)
-    except Exception:
-        pass
+    except Exception as e:
+        if multi_host:
+            raise
+        # single-host: "already initialized" / no coordinator is expected
+        warnings.warn(f"jax.distributed.initialize skipped: {e!r}")
 
 
 def make_mesh(

@@ -43,6 +43,7 @@ def make_sharded_train_step(
     num_neighbors: int,
     mesh: Mesh,
     shard_bodies: bool = False,
+    charged: bool = False,
 ):
     """Jitted multi-chip train step.
 
@@ -66,7 +67,13 @@ def make_sharded_train_step(
         new_params = optax.apply_updates(params, updates)
         return new_params, new_opt, loss
 
-    scene_shardings = Scene(pos=data_sh, vel=data_sh, force=data_sh, mass=data_sh)
+    # charge is an optional Scene field: the shardings pytree must match the
+    # argument's structure (charge=None vs charge=[B,N,1] array), so callers
+    # training on the offline charged dataset pass charged=True.
+    scene_shardings = Scene(
+        pos=data_sh, vel=data_sh, force=data_sh, mass=data_sh,
+        charge=data_sh if charged else None,
+    )
     return jax.jit(
         step,
         in_shardings=(repl, repl, scene_shardings, data_sh, repl),
@@ -106,6 +113,7 @@ def make_sharded_rollout_fn(
     mesh: Mesh,
     num_neighbors: Optional[int] = None,
     target: str = "pos_dt+vel",
+    charged: bool = False,
 ):
     """Self-feed rollout with the batch of sims sharded over the mesh —
     checkpoint evaluation at full-fleet throughput."""
@@ -114,7 +122,10 @@ def make_sharded_rollout_fn(
     inner = make_rollout_fn(model, num_steps, num_neighbors, target)
     data_sh = scene_sharding(mesh)
     repl = replicate(mesh)
-    scene_shardings = Scene(pos=data_sh, vel=data_sh, force=data_sh, mass=data_sh)
+    scene_shardings = Scene(
+        pos=data_sh, vel=data_sh, force=data_sh, mass=data_sh,
+        charge=data_sh if charged else None,
+    )
     return jax.jit(
         lambda params, scene0: inner(params, scene0),
         in_shardings=(repl, scene_shardings),

@@ -29,6 +29,18 @@ matplotlib.use("Agg")
 import matplotlib.pyplot as plt  # noqa: E402
 
 
+def _finite_bounds(pts: np.ndarray, pad: float = 1.0) -> tuple:
+    """(lo, hi) over the finite entries of ``pts``; safe on exploded
+    rollouts whose later frames are NaN/inf (rollout freeze semantics)."""
+    finite = pts[np.isfinite(pts)]
+    if finite.size == 0:
+        return -pad, pad
+    lo, hi = float(finite.min()) - pad, float(finite.max()) + pad
+    if hi <= lo:
+        hi = lo + 2 * pad
+    return lo, hi
+
+
 def plot_trajectories_3d(
     save_dir: str,
     loc: np.ndarray,
@@ -72,7 +84,7 @@ def interactive_trajectory_html(
     if loc_pred is not None:
         tracks["predicted"] = prep(loc_pred)
     allpts = np.concatenate(list(tracks.values()), axis=0).reshape(-1, 2)
-    lo, hi = allpts.min() - 1, allpts.max() + 1
+    lo, hi = _finite_bounds(allpts)
     payload = {
         k: np.round(v, 4).tolist() for k, v in tracks.items()
     }
@@ -142,7 +154,7 @@ def animate_trajectory(
     T, N, _ = a.shape
 
     fig, ax = plt.subplots(figsize=(6, 6))
-    lo, hi = a[..., :2].min() - 1, a[..., :2].max() + 1
+    lo, hi = _finite_bounds(a[..., :2])
     ax.set_xlim(lo, hi)
     ax.set_ylim(lo, hi)
     lines = [ax.plot([], [], alpha=0.6, lw=1)[0] for _ in range(N)]

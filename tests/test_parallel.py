@@ -168,3 +168,22 @@ def test_ring_acceleration_matches_dense():
     wantb = compute_acceleration(posb, massb, 2.0, 0.2)
     gotb = ring(posb, massb)
     np.testing.assert_allclose(np.asarray(gotb), np.asarray(wantb), rtol=2e-5, atol=1e-6)
+
+
+def test_sharded_train_step_charged_scene():
+    """Scene.charge is an optional pytree field: the factory's in_shardings
+    must match a charged scene's structure (charged=True) or jit rejects it
+    with a pytree mismatch (regression: shardings omitted charge)."""
+    model, params, scene, y, loss_fn, tx = _setup()
+    scene = Scene(
+        pos=scene.pos, vel=scene.vel, force=scene.force, mass=scene.mass,
+        charge=jnp.ones_like(scene.mass),
+    )
+    params = model.init(jax.random.PRNGKey(3), scene, G.knn_mask(scene.pos, 4))
+    opt_state = tx.init(params)
+    mesh = make_mesh(8)
+    sstep = make_sharded_train_step(model, tx, loss_fn, 4, mesh, charged=True)
+    scene_sh = shard_scene(scene, mesh)
+    y_sh = jax.device_put(y, scene_sh.pos.sharding)
+    _, _, loss = sstep(params, opt_state, scene_sh, y_sh, jax.random.PRNGKey(9))
+    assert np.isfinite(float(loss))
