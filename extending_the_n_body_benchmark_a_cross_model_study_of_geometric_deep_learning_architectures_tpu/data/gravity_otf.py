@@ -90,6 +90,11 @@ class GravityDatasetOtf:
             # are precision-robust — SURVEY.md §7 hard part 2).
             self.dtype = jnp.float32
 
+        # an explicitly-seeded dataset keys its cache on the seed: two runs
+        # differing only in seed must not replay each other's cached sims
+        # (seed=None keeps the reference's shared-pool semantics — its
+        # locals-hash has no seed field, dataset_gravity_otf.py:53-57,182)
+        self._explicit_seed = seed
         seed = seed if seed is not None else pyrandom.SystemRandom().randint(0, 2**31 - 1)
         self._key = jax.random.PRNGKey(seed)
         self._rng = pyrandom.Random(seed)
@@ -128,24 +133,37 @@ class GravityDatasetOtf:
             "center_of_mass": self.center_of_mass,
             "lmax_attr": self.lmax_attr,
         }
+        if self._explicit_seed is not None:
+            ident["seed"] = self._explicit_seed
         h = hashlib.sha256(json.dumps(ident, sort_keys=True).encode()).hexdigest()
         return os.path.join(self.cache_dir, h)
 
     def _save_batch_to_cache(self, traj: Dict[str, np.ndarray]) -> None:
         folder = self._cache_folder()
         os.makedirs(folder, exist_ok=True)
-        existing = [int(f[:-4]) for f in os.listdir(folder) if f.endswith(".npz")]
-        name = f"{(max(existing) + 1) if existing else 0}.npz"
-        np.savez_compressed(
-            os.path.join(folder, name), **{k: np.asarray(v) for k, v in traj.items()}
-        )
+        # atomic + race-safe: write a private tmp file, then link it to the
+        # first free index — concurrent runs sharing a cache dir can neither
+        # overwrite each other nor expose a half-written .npz to readers
+        tmp = os.path.join(folder, f".tmp-{os.getpid()}.npz")
+        np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in traj.items()})
+        existing = [int(f[:-4]) for f in os.listdir(folder)
+                    if f.endswith(".npz") and not f.startswith(".tmp-")]
+        idx = (max(existing) + 1) if existing else 0
+        while True:
+            try:
+                os.link(tmp, os.path.join(folder, f"{idx}.npz"))
+                break
+            except FileExistsError:
+                idx += 1
+        os.unlink(tmp)
 
     def _load_batch_from_cache(self, index: int) -> Optional[Dict[str, jnp.ndarray]]:
         folder = self._cache_folder()
         if not os.path.isdir(folder):
             return None
         files = sorted(
-            (f for f in os.listdir(folder) if f.endswith(".npz")),
+            (f for f in os.listdir(folder)
+             if f.endswith(".npz") and not f.startswith(".tmp-")),
             key=lambda f: int(f[:-4]),
         )
         if index >= len(files):

@@ -35,7 +35,10 @@ def target_common_loss(
     terms: Dict[str, jnp.ndarray] = {}
     for i, t in enumerate(targets):
         sl = mse(pred[..., 3 * i : 3 * (i + 1)], y[..., 3 * i : 3 * (i + 1)])
-        if t in ("pos", "pos_dt"):
+        # the reference matches by substring on the whole target spec
+        # ("pos" in args.target — losses.py:28-37), so pos_com is a
+        # Position-weighted term there too
+        if t.startswith("pos"):
             w, name = weights.get("position", 1.0), "Position loss"
         elif t in ("vel", "vel_dt"):
             w, name = weights.get("velocity", 1.0), "Velocity loss"
@@ -91,6 +94,15 @@ def build_loss_fn(args) -> Callable:
     momentum_w = getattr(args, "momentum_loss_weight", 0.0001)
     G = getattr(args, "interaction_strength", 2.0)
     soft = getattr(args, "softening", 0.2)
+
+    # momentum/energy losses read pred[..., 3:6] as a velocity — fail at
+    # build time with a clear message for single-component targets like
+    # target='pos' instead of a broadcast error at jit trace time
+    if (use_energy or use_momentum) and len(targets) < 2:
+        raise ValueError(
+            f"energy_loss/momentum_loss need a velocity component in the "
+            f"prediction (target={args.target!r} has only {targets})"
+        )
 
     def loss_fn(pred, scene, y):
         total, terms = target_common_loss(pred, scene, y, targets, weights)

@@ -44,6 +44,17 @@ def load_run(
     ckpt = load_checkpoint(os.path.join(run_dir, checkpoint))
     params = ckpt["params"]
     metadata = find_dataset_metadata(run_dir) or {}
+    if "partition" in metadata or "cutoff_rate" in metadata:
+        # offline charged-systems run: its metadata has no gravity-sim
+        # params, and from_metadata would silently fall back to default
+        # gravity physics — rollout numbers against the wrong system
+        raise ValueError(
+            f"{run_dir} was trained on the offline dataset "
+            f"({metadata.get('dataset_name')!r}); load_run can only rebuild "
+            "on-the-fly gravity datasets for rollout evaluation (the offline "
+            "dataset has no ground-truth trajectory generator — reference "
+            "parity, PARITY.md)"
+        )
     dataset = GravityDatasetOtf.from_metadata(
         metadata, n_bodies=n_bodies, cache_data=False, seed=seed
     )

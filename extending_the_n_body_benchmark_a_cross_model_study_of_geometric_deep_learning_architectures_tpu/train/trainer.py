@@ -50,10 +50,22 @@ ENERGY_ERROR_THRESHOLDS = [2.5, 5]  # trainer.py:27
 
 
 class Trainer:
-    def __init__(self, model, dataset: GravityDatasetOtf, args, resolved_config=None):
+    def __init__(
+        self,
+        model,
+        dataset: GravityDatasetOtf,
+        args,
+        resolved_config=None,
+        valid_dataset=None,
+    ):
         self.args = args
         self.model = model
         self.dataset = dataset
+        # separate validation dataset (reference train.py:39-44 builds a
+        # partition="valid" dataloader); None falls back to the training
+        # stream (fresh unused frames for OTF data — no leakage either way,
+        # but offline runs need the real valid split)
+        self.valid_dataset = valid_dataset
         self.targets = args.target.split("+")
         self.num_neighbors = args.num_neighbors or (args.num_atoms - 1)
         self.dtype = {
@@ -101,6 +113,7 @@ class Trainer:
         # jitted step instead of being recomputed in-trace.
         batch0 = dataset.get_batch()
         self._data_masks = len(batch0) == 3
+        self._charged_scenes = batch0[0].charge is not None
         scene0, y0 = batch0[0], batch0[1]
         scene0 = scene0.astype(self.dtype)
         mask0 = batch0[2] if self._data_masks else G.knn_mask(
@@ -164,7 +177,12 @@ class Trainer:
         if self.mesh is not None:
             ds = self._data_sharding
             repl = self._replicated
-            scene_sh = Scene(pos=ds, vel=ds, force=ds, mass=ds)
+            # the shardings pytree must mirror the scene's structure:
+            # offline charged scenes carry a charge leaf
+            scene_sh = Scene(
+                pos=ds, vel=ds, force=ds, mass=ds,
+                charge=ds if self._charged_scenes else None,
+            )
             in_sh = [repl, repl, scene_sh, ds]
             if data_masks:
                 in_sh.append(ds)
@@ -231,10 +249,14 @@ class Trainer:
         (``PaiNN.py:188-207`` + ``trainer.py:328-350``)."""
         model = self.model
         k = self.num_neighbors
+        data_masks = self._data_masks
 
         @jax.jit
-        def stats(params, scene: Scene):
-            mask = G.knn_mask(scene.pos, k)
+        def stats(params, scene: Scene, *data_mask):
+            # offline datasets train on a data-provided cutoff-rate mask
+            # (and their N may differ from the gravity-section num_atoms) —
+            # stats must see the same graph the model trains on
+            mask = data_mask[0] if data_masks else G.knn_mask(scene.pos, k)
             _, state = model.apply(
                 params, scene, mask, capture_intermediates=True, mutable=["intermediates"]
             )
@@ -256,10 +278,10 @@ class Trainer:
 
         return stats
 
-    def log_layer_stats(self, scene: Scene) -> Dict[str, float]:
+    def log_layer_stats(self, scene: Scene, *data_mask) -> Dict[str, float]:
         if not hasattr(self, "_layer_stats_fn"):
             self._layer_stats_fn = self._build_layer_stats_fn()
-        raw = self._layer_stats_fn(self.params, scene)
+        raw = self._layer_stats_fn(self.params, scene, *data_mask)
         record = {"step": int(self.step_count)}
         for name, v in raw.items():
             record[f"debug/{name}"] = float(v)
@@ -364,7 +386,8 @@ class Trainer:
             batch = self.dataset.get_batch()
             scene, y = batch[0], batch[1]
             if stats_every and step_i % int(stats_every) == 0:
-                self.log_layer_stats(scene.astype(self.dtype))
+                extra = (batch[2],) if self._data_masks else ()
+                self.log_layer_stats(scene.astype(self.dtype), *extra)
             step_args = (scene, y, batch[2]) if self._data_masks else (scene, y)
             self.params, self.opt_state, self._rng, vec = self._train_step(
                 self.params, self.opt_state, *step_args, self._rng
@@ -462,8 +485,9 @@ class Trainer:
             self._valid_step = vstep
 
         means: Dict[str, RunningMean] = {}
+        vds = self.valid_dataset if self.valid_dataset is not None else self.dataset
         for _ in range(num_batches):
-            batch = self.dataset.get_batch()
+            batch = vds.get_batch()
             scene, y = batch[0], batch[1]
             extra = (batch[2],) if self._data_masks else ()
             total, terms, perc = self._valid_step(
@@ -546,6 +570,9 @@ class Trainer:
         steps_metric = {}
         for t in ENERGY_ERROR_THRESHOLDS:
             ok = np.where((1.0 / t < ratio) & (ratio < t))[0]
+            # LAST in-band index, deliberately: exact reference semantics
+            # (trainer.py:699 `mask[-1] + 1`) — a rollout that leaves the
+            # band and transiently re-enters counts up to the re-entry
             steps_metric[t] = int(ok[-1] + 1) if ok.size else 0
 
         primary = ENERGY_ERROR_THRESHOLDS[0]
@@ -592,4 +619,15 @@ def create_trainer_from_args(args, resolved_config=None) -> Trainer:
 
     model = create_model(args.model_type, **args.model_kwargs)
     dataset = create_dataloader(args, partition="train").dataset
-    return Trainer(model, dataset, args, resolved_config=resolved_config)
+    # reference train.py:39-44: a partition="valid" dataloader exists only
+    # when do_validation is on (offline datasets load the valid_charged*
+    # files; OTF datasets ignore partition — a fresh independent stream)
+    valid_dataset = (
+        create_dataloader(args, partition="valid").dataset
+        if getattr(args, "do_validation", False)
+        else None
+    )
+    return Trainer(
+        model, dataset, args, resolved_config=resolved_config,
+        valid_dataset=valid_dataset,
+    )

@@ -67,10 +67,16 @@ def test_dataset_cache_roundtrip(tmp_run_dir):
     ds1 = GravityDatasetOtf(batch_size=2, sim_length=50, cache_data=True, seed=2)
     folder = ds1._cache_folder()
     assert os.path.isdir(folder) and any(f.endswith(".npz") for f in os.listdir(folder))
-    ds2 = GravityDatasetOtf(batch_size=2, sim_length=50, use_cached=True, cache_data=False, seed=3)
+    # same explicit seed -> replays the cached sims byte-for-byte
+    ds2 = GravityDatasetOtf(batch_size=2, sim_length=50, use_cached=True, cache_data=False, seed=2)
     np.testing.assert_allclose(
         np.asarray(ds1._traj["loc"]), np.asarray(ds2._traj["loc"]), rtol=1e-6
     )
+    # a DIFFERENT explicit seed must not replay seed-2's cache (its cache
+    # key includes the seed), so its trajectories are independent draws
+    ds3 = GravityDatasetOtf(batch_size=2, sim_length=50, use_cached=True, cache_data=False, seed=3)
+    assert ds3._cache_folder() != folder
+    assert not np.allclose(np.asarray(ds1._traj["loc"]), np.asarray(ds3._traj["loc"]))
 
 
 def test_full_training_run_with_self_feed(tmp_run_dir):
