@@ -346,10 +346,20 @@ def _wait_for_idle_chip(max_wait_s: float = 1800.0) -> None:
                 if pid == me:
                     continue
                 with open(p, "rb") as f:
-                    cmd = f.read().decode(errors="replace").replace("\0", " ")
-            except (OSError, ValueError):
+                    argv = f.read().decode(errors="replace").split("\0")
+                # stopped/zombie processes hold no live chip lease
+                with open(f"/proc/{pid}/stat") as f:
+                    state = f.read().rsplit(")", 1)[1].split()[0]
+            except (OSError, ValueError, IndexError):
                 continue
-            if ("train.py" in cmd or "self_feed.py" in cmd) and "python" in cmd:
+            if state in ("T", "t", "Z"):
+                continue
+            # match whole argv tokens (basename), not substrings: a wrapper
+            # whose *argument string* mentions train.py is not a run
+            names = {os.path.basename(a) for a in argv if a}
+            if ("train.py" in names or "self_feed.py" in names) and any(
+                n.startswith("python") for n in names
+            ):
                 return True
         return False
 

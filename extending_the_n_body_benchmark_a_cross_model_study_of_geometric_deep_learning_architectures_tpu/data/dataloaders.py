@@ -33,6 +33,7 @@ class NBodyDataLoader:
 
     def __init__(self, args, partition: str = "train"):
         self.args = args
+        self.partition = partition
         self.dataset = self.create_dataset()
         n = self.dataset.num_nodes
         k = getattr(args, "num_neighbors", None)
@@ -40,6 +41,14 @@ class NBodyDataLoader:
 
     def create_dataset(self) -> GravityDatasetOtf:
         a = self.args
+        train = self.partition == "train"
+        # A non-train partition must be an *independent* stream: it neither
+        # reads nor writes the sim cache (a shared cache would replay the
+        # training trajectories from index 0) and, when the run is
+        # deterministically seeded, draws from a disjoint seeded stream.
+        seed = getattr(a, "data_seed", None)
+        if not train and seed is not None:
+            seed = seed + 7919
         return GravityDatasetOtf(
             dataset_name=a.dataset_name,
             target=a.target,
@@ -54,10 +63,11 @@ class NBodyDataLoader:
             softening=getattr(a, "softening", 0.2),
             double_precision=getattr(a, "double_precision", False),
             center_of_mass=getattr(a, "center_of_mass", False),
-            use_cached=getattr(a, "use_cached", True)
+            use_cached=train
+            and getattr(a, "use_cached", True)
             and getattr(a, "model_path", None) is None,
-            cache_data=getattr(a, "cache_data", True),
-            seed=getattr(a, "data_seed", None),
+            cache_data=train and getattr(a, "cache_data", True),
+            seed=seed,
         )
 
     def get_batch(self) -> Tuple[Scene, jnp.ndarray]:

@@ -26,6 +26,7 @@ import hashlib
 import json
 import os
 import random as pyrandom
+import time
 from typing import Dict, Optional, Tuple
 
 import jax
@@ -141,21 +142,45 @@ class GravityDatasetOtf:
     def _save_batch_to_cache(self, traj: Dict[str, np.ndarray]) -> None:
         folder = self._cache_folder()
         os.makedirs(folder, exist_ok=True)
-        # atomic + race-safe: write a private tmp file, then link it to the
-        # first free index — concurrent runs sharing a cache dir can neither
-        # overwrite each other nor expose a half-written .npz to readers
+        # atomic + race-safe: write a private tmp file, claim the first free
+        # index with an O_EXCL marker, then os.replace the tmp into place —
+        # concurrent runs sharing a cache dir can neither overwrite each
+        # other nor expose a half-written .npz to readers (who only ever see
+        # fully-written files appear).  Works on filesystems without
+        # hardlink support, unlike an os.link-based commit.
         tmp = os.path.join(folder, f".tmp-{os.getpid()}.npz")
-        np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in traj.items()})
-        existing = [int(f[:-4]) for f in os.listdir(folder)
-                    if f.endswith(".npz") and not f.startswith(".tmp-")]
-        idx = (max(existing) + 1) if existing else 0
-        while True:
-            try:
-                os.link(tmp, os.path.join(folder, f"{idx}.npz"))
+        try:
+            np.savez_compressed(tmp, **{k: np.asarray(v) for k, v in traj.items()})
+            existing = [int(f[:-4]) for f in os.listdir(folder)
+                        if f.endswith(".npz") and not f.startswith(".tmp-")]
+            idx = (max(existing) + 1) if existing else 0
+            while True:
+                claim = os.path.join(folder, f".claim-{idx}")
+                try:
+                    os.close(os.open(claim, os.O_CREAT | os.O_EXCL | os.O_WRONLY))
+                except FileExistsError:
+                    idx += 1
+                    continue
+                os.replace(tmp, os.path.join(folder, f"{idx}.npz"))
                 break
-            except FileExistsError:
-                idx += 1
-        os.unlink(tmp)
+        finally:
+            for leftover in (tmp,):
+                try:
+                    os.unlink(leftover)
+                except OSError:
+                    pass
+        # best-effort sweep of tmp/claim files orphaned by crashed writers
+        # (claims older than an hour guard an index that was never written;
+        # readers index by list position, so the resulting hole is harmless)
+        now = time.time()
+        for f in os.listdir(folder):
+            if f.startswith((".tmp-", ".claim-")):
+                p = os.path.join(folder, f)
+                try:
+                    if now - os.path.getmtime(p) > 3600.0:
+                        os.unlink(p)
+                except OSError:
+                    pass
 
     def _load_batch_from_cache(self, index: int) -> Optional[Dict[str, jnp.ndarray]]:
         folder = self._cache_folder()

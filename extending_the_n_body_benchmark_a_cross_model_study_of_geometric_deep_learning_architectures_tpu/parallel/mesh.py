@@ -34,9 +34,22 @@ def initialize_distributed(**kwargs) -> None:
     process is single-host or already initialized — but a *failed* init on
     a genuinely multi-host launch (bad coordinator address) must not be
     swallowed, or training silently proceeds on one host's chips."""
-    multi_host = bool(
-        kwargs.get("num_processes", 0) and int(kwargs["num_processes"]) > 1
-    ) or os.environ.get("JAX_NUM_PROCESSES", "").strip() not in ("", "0", "1")
+    def _env_gt1(name: str) -> bool:
+        return os.environ.get(name, "").strip() not in ("", "0", "1")
+
+    multi_host = (
+        bool(kwargs.get("num_processes", 0) and int(kwargs["num_processes"]) > 1)
+        # an explicit coordinator address is always multi-host intent
+        or bool(kwargs.get("coordinator_address"))
+        or bool(os.environ.get("JAX_COORDINATOR_ADDRESS"))
+        # markers the standard launchers set for jax's auto-detection
+        # (TPU pod / megascale, SLURM, Open MPI) — a failed init under any
+        # of these must raise, not degrade to single-host training
+        or bool(os.environ.get("MEGASCALE_COORDINATOR_ADDRESS"))
+        or _env_gt1("JAX_NUM_PROCESSES")
+        or _env_gt1("SLURM_NTASKS")
+        or _env_gt1("OMPI_COMM_WORLD_SIZE")
+    )
     try:
         jax.distributed.initialize(**kwargs)
     except Exception as e:

@@ -49,6 +49,20 @@ from .optim import create_optimizer
 ENERGY_ERROR_THRESHOLDS = [2.5, 5]  # trainer.py:27
 
 
+def resolve_dtype(precision_mode: str):
+    """Compute dtype for a ``precision_mode`` (reference ``trainer.py:39-44``
+    precision modes).  Shared by the trainer and ``validate.py`` so an
+    offline evaluation always runs in the dtype the run trained with."""
+    return {
+        "double": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
+        "single": jnp.float32,
+        "bfloat16": jnp.bfloat16,
+        # reference "autocast" (mixed precision + GradScaler) maps to
+        # bfloat16 compute — TPU bf16 needs no loss scaling
+        "autocast": jnp.bfloat16,
+    }[precision_mode]
+
+
 class Trainer:
     def __init__(
         self,
@@ -62,21 +76,13 @@ class Trainer:
         self.model = model
         self.dataset = dataset
         # separate validation dataset (reference train.py:39-44 builds a
-        # partition="valid" dataloader); None falls back to the training
-        # stream (fresh unused frames for OTF data — no leakage either way,
-        # but offline runs need the real valid split)
+        # partition="valid" dataloader: offline runs get the real valid
+        # split, OTF runs an independent uncached/reseeded sim stream);
+        # None falls back to the training stream's fresh unused frames
         self.valid_dataset = valid_dataset
         self.targets = args.target.split("+")
         self.num_neighbors = args.num_neighbors or (args.num_atoms - 1)
-        self.dtype = {
-            "double": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
-            "single": jnp.float32,
-            "bfloat16": jnp.bfloat16,
-            # reference "autocast" (mixed precision + GradScaler,
-            # trainer.py:39-44) maps to bfloat16 compute — TPU bf16 needs no
-            # loss scaling
-            "autocast": jnp.bfloat16,
-        }[getattr(args, "precision_mode", "single")]
+        self.dtype = resolve_dtype(getattr(args, "precision_mode", "single"))
         # TPU f32 matmuls default to one-pass bf16 multiplication; opt into
         # true f32 ("float32"/"highest") for precision-sensitive training —
         # the reference trains in f64 (config.yaml:177)
@@ -621,7 +627,8 @@ def create_trainer_from_args(args, resolved_config=None) -> Trainer:
     dataset = create_dataloader(args, partition="train").dataset
     # reference train.py:39-44: a partition="valid" dataloader exists only
     # when do_validation is on (offline datasets load the valid_charged*
-    # files; OTF datasets ignore partition — a fresh independent stream)
+    # files; OTF valid datasets bypass the sim cache and reseed, so the
+    # stream is independent of the training trajectories)
     valid_dataset = (
         create_dataloader(args, partition="valid").dataset
         if getattr(args, "do_validation", False)

@@ -150,3 +150,37 @@ def test_offline_dataloader_layer(tmp_path):
     scene, y = dl.get_batch()
     mask = dl.preprocess_batch(scene)
     assert scene.pos.shape == (2, 5, 3) and mask.shape == (2, 5, 5)
+
+
+def test_valid_partition_is_independent_of_training_stream(tmp_path, monkeypatch):
+    """A partition="valid" OTF dataloader must not replay the training
+    trajectories: it bypasses the sim cache and, for a seeded run, draws
+    from a disjoint seeded stream (no validation leakage)."""
+    monkeypatch.chdir(tmp_path)
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.dataloaders import (
+        create_dataloader,
+    )
+
+    args = SimpleNamespace(
+        model_type="painn", dataloader_type="painn_nbody", dataset_name="nbody_small",
+        target="pos_dt+vel", batch_size=2, sample_freq=10, sim_length=100,
+        num_atoms=5, num_neighbors=4, cache_data=True, use_cached=True,
+        model_path=None, data_seed=5,
+    )
+    train_ds = create_dataloader(args, partition="train").dataset
+    valid_ds = create_dataloader(args, partition="valid").dataset
+    # the valid stream neither reads nor writes the shared sim cache
+    assert train_ds.cache_data and not valid_ds.cache_data
+    assert train_ds.use_cached and not valid_ds.use_cached
+    # seeded runs: disjoint deterministic streams (different trajectories)
+    t_loc = np.asarray(train_ds._traj["loc"])
+    v_loc = np.asarray(valid_ds._traj["loc"])
+    assert t_loc.shape == v_loc.shape
+    assert not np.allclose(t_loc, v_loc)
+    # a re-created valid loader reproduces its own stream (determinism)
+    valid_ds2 = create_dataloader(args, partition="valid").dataset
+    assert np.allclose(v_loc, np.asarray(valid_ds2._traj["loc"]))

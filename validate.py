@@ -39,14 +39,13 @@ def main(argv=None):
     loss_fn = build_loss_fn(targs)
     k = getattr(targs, "num_neighbors", None) or dataset.num_nodes - 1
     targets = targs.target.split("+")
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.trainer import (
+        resolve_dtype,
+    )
+
     # evaluate in the run's training dtype so valid/loss is comparable to
     # the trainer's own logged validation (trainer casts via scene.astype)
-    dtype = {
-        "double": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
-        "single": jnp.float32,
-        "bfloat16": jnp.bfloat16,
-        "autocast": jnp.bfloat16,
-    }[getattr(targs, "precision_mode", "single")]
+    dtype = resolve_dtype(getattr(targs, "precision_mode", "single"))
 
     @jax.jit
     def evaluate(params, scene, y):
