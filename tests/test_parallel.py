@@ -187,3 +187,41 @@ def test_sharded_train_step_charged_scene():
     y_sh = jax.device_put(y, scene_sh.pos.sharding)
     _, _, loss = sstep(params, opt_state, scene_sh, y_sh, jax.random.PRNGKey(9))
     assert np.isfinite(float(loss))
+
+
+def test_initialize_distributed_multi_host_failures_raise(monkeypatch):
+    """A failed jax.distributed.initialize must raise when any standard
+    multi-host launch marker is present (and stay a warning single-host)."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.parallel.mesh import (
+        initialize_distributed,
+    )
+
+    def boom(**kwargs):
+        raise RuntimeError("bad coordinator")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    for name in ("JAX_COORDINATOR_ADDRESS", "MEGASCALE_COORDINATOR_ADDRESS",
+                 "JAX_NUM_PROCESSES", "SLURM_NTASKS", "OMPI_COMM_WORLD_SIZE"):
+        monkeypatch.delenv(name, raising=False)
+
+    # single-host: swallowed with a warning
+    with pytest.warns(UserWarning):
+        initialize_distributed()
+    # explicit kwargs imply multi-host intent
+    with pytest.raises(RuntimeError):
+        initialize_distributed(num_processes=2)
+    with pytest.raises(RuntimeError):
+        initialize_distributed(coordinator_address="10.0.0.1:1234")
+    # launcher env markers imply multi-host intent
+    for name, val in [("JAX_COORDINATOR_ADDRESS", "10.0.0.1:1234"),
+                      ("MEGASCALE_COORDINATOR_ADDRESS", "10.0.0.1:1234"),
+                      ("JAX_NUM_PROCESSES", "4"), ("SLURM_NTASKS", "2"),
+                      ("OMPI_COMM_WORLD_SIZE", "2")]:
+        monkeypatch.setenv(name, val)
+        with pytest.raises(RuntimeError):
+            initialize_distributed()
+        monkeypatch.delenv(name)
+    # markers set to 1 process stay single-host
+    monkeypatch.setenv("SLURM_NTASKS", "1")
+    with pytest.warns(UserWarning):
+        initialize_distributed()
