@@ -374,9 +374,32 @@ def _wait_for_idle_chip(max_wait_s: float = 1800.0) -> None:
         print("bench: TPU free, starting", file=sys.stderr)
 
 
+def _wait_for_healthy_backend(max_wait_s: float = 1800.0) -> None:
+    """Fail fast (with retries) if the accelerator backend is unreachable.
+
+    Backend init on a dropped remote-TPU tunnel hangs ~25 min before
+    raising UNAVAILABLE; without this gate the bench would burn its whole
+    budget inside a hung init.  Probe in bounded subprocesses and wait up
+    to ``max_wait_s`` for the tunnel to recover, then error out clearly.
+    """
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device import (
+        wait_for_backend,
+    )
+
+    if wait_for_backend(max_wait_s=max_wait_s, probe_timeout_s=90.0,
+                        poll_s=60.0, verbose=True):
+        return
+    raise SystemExit(
+        "bench: accelerator backend unavailable after "
+        f"{max_wait_s:.0f}s of probing (remote-TPU tunnel down?) — aborting "
+        "instead of hanging in backend init"
+    )
+
+
 if __name__ == "__main__":
     if os.environ.get("BENCH_NO_WAIT") != "1":
         _wait_for_idle_chip()
+        _wait_for_healthy_backend()
     if MODE == "train":
         main_train()
     elif MODE == "datagen":
