@@ -1,0 +1,240 @@
+"""Resilient train -> KS-score -> draw-battery pipeline runner.
+
+The reference orchestrates its benchmark pipeline by hand: a README command
+sequence (``README.md:27-39``) plus provisioning shell scripts
+(``helper_scripts/setup_lambda_full.sh``).  On a remote-TPU deployment the
+accelerator can disappear mid-pipeline (tunnel drops; backend init then
+hangs ~25 min before raising UNAVAILABLE), so this framework ships the
+orchestration as a first-class CLI with bounded backend health probes
+(``utils/device.py``) and idempotent stages:
+
+1. **train** — launch ``train.py`` for the requested model/overrides unless
+   the work dir already holds a usable run (>= ``--min-checkpoints``
+   checkpoint dirs).  Before every attempt the backend is probed in a
+   bounded subprocess; attempts retry with a poll interval until
+   ``--deadline-hours`` elapses.
+2. **score** — run ``ks_test.py`` (CPU, published six-macro basis) if the
+   run has no ``ks_summary.json`` yet.
+3. **draws** — run ``self_feed.py --draws K`` batteries at the top
+   ``--top-k`` checkpoints by in-run combined p, skipping existing ones.
+
+Each stage re-checks artifacts, so re-running the same command after a
+crash (or an outage) resumes exactly where it stopped.  Prints a final JSON
+line with the best combined p found across the run + batteries.
+
+Usage:
+    python scripts/pipeline.py --workdir /tmp/gt10m --model graph_transformer \
+        --epochs 900 --draws 12 --top-k 3 \
+        -o model.num_layers=8 -o model.hidden_features=248 -o model.num_heads=8
+"""
+
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import subprocess
+import sys
+import time
+from pathlib import Path
+from typing import Callable, Dict, List, Optional, Sequence
+
+REPO = Path(__file__).resolve().parent.parent
+
+Runner = Callable[..., "subprocess.CompletedProcess"]
+
+
+def latest_run(workdir: str) -> Optional[str]:
+    """Newest run dir under ``<workdir>/runs/<model>/<stamp>`` or None."""
+    runs = glob.glob(os.path.join(workdir, "runs", "*", "*"))
+    runs = [r for r in runs if os.path.isdir(r)]
+    return max(runs, key=os.path.getmtime) if runs else None
+
+
+def run_usable(run_dir: Optional[str], min_checkpoints: int) -> bool:
+    if not run_dir:
+        return False
+    ckpts = os.path.join(run_dir, "checkpoints")
+    return os.path.isdir(ckpts) and len(os.listdir(ckpts)) >= min_checkpoints
+
+
+def _train_cmd(args) -> List[str]:
+    cmd = [
+        sys.executable, str(REPO / "train.py"),
+        "--config", args.config,
+        "--main.model_type", args.model,
+        "--trainer.train_steps", str(args.epochs),
+        "--trainer.run_name", args.run_name,
+    ]
+    for ov in args.override:
+        key, _, val = ov.partition("=")
+        cmd += [f"--{key}", val]
+    return cmd
+
+
+def ensure_run(args, runner: Runner = subprocess.run,
+               wait_fn: Optional[Callable[..., bool]] = None) -> Optional[str]:
+    """Train until a usable run exists in ``args.workdir`` or the deadline hits."""
+    if wait_fn is None:
+        from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device import (
+            wait_for_backend,
+        )
+        wait_fn = wait_for_backend
+    os.makedirs(args.workdir, exist_ok=True)
+    run = latest_run(args.workdir)
+    if run_usable(run, args.min_checkpoints):
+        print(f"pipeline: reusing run {run}", file=sys.stderr)
+        return run
+    deadline = time.time() + args.deadline_hours * 3600.0
+    attempt = 0
+    while time.time() < deadline:
+        remaining = deadline - time.time()
+        if not wait_fn(max_wait_s=remaining, probe_timeout_s=90.0,
+                       poll_s=args.poll_s, verbose=True):
+            break
+        attempt += 1
+        print(f"pipeline: training attempt {attempt}", file=sys.stderr)
+        log = os.path.join(args.workdir, f"train_attempt{attempt}.log")
+        with open(log, "w") as fh:
+            runner(_train_cmd(args), cwd=args.workdir, stdout=fh,
+                   stderr=subprocess.STDOUT, timeout=args.train_timeout_s)
+        run = latest_run(args.workdir)
+        if run_usable(run, args.min_checkpoints):
+            return run
+        print(f"pipeline: attempt {attempt} produced no usable run "
+              f"(see {log}); re-probing", file=sys.stderr)
+        time.sleep(min(args.poll_s, max(0.0, deadline - time.time())))
+    run = latest_run(args.workdir)
+    return run if run_usable(run, args.min_checkpoints) else None
+
+
+def score_run(run_dir: str, runner: Runner = subprocess.run,
+              timeout_s: float = 5400.0) -> bool:
+    """Produce ``ks_summary.json`` for ``run_dir`` if missing (CPU)."""
+    summary = os.path.join(run_dir, "ks_summary.json")
+    if os.path.exists(summary):
+        return True
+    env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
+    runner([sys.executable, str(REPO / "ks_test.py"), run_dir],
+           env=env, timeout=timeout_s)
+    return os.path.exists(summary)
+
+
+def top_checkpoints(run_dir: str, k: int) -> List[str]:
+    try:
+        with open(os.path.join(run_dir, "ks_summary.json")) as fh:
+            summary = json.load(fh)
+    except (OSError, ValueError):
+        return []
+    ranked = sorted(summary.get("results", []),
+                    key=lambda r: -r.get("combined_pvalue", 0.0))
+    out = []
+    for rec in ranked[:k]:
+        ck = str(rec["checkpoint"])
+        if os.path.exists(os.path.join(run_dir, "checkpoints", ck, "model.ckpt")):
+            out.append(ck)
+    return out
+
+
+def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
+                   wait_fn: Optional[Callable[..., bool]] = None) -> None:
+    """12-draw (configurable) lottery batteries at the top-k checkpoints."""
+    if wait_fn is None:
+        from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device import (
+            wait_for_backend,
+        )
+        wait_fn = wait_for_backend
+    for ck in top_checkpoints(run_dir, args.top_k):
+        out_dir = os.path.join(run_dir, f"draws_ckpt{ck}")
+        if os.path.isdir(out_dir):
+            continue
+        if not wait_fn(max_wait_s=args.deadline_hours * 3600.0,
+                       probe_timeout_s=90.0, poll_s=args.poll_s, verbose=True):
+            print("pipeline: backend never recovered; skipping draws",
+                  file=sys.stderr)
+            return
+        print(f"pipeline: draws at checkpoint {ck}", file=sys.stderr)
+        runner([
+            sys.executable, str(REPO / "self_feed.py"),
+            "--run_dir", run_dir,
+            "--checkpoint", f"checkpoints/{ck}/model.ckpt",
+            "--draws", str(args.draws), "--seed", str(args.draw_seed),
+            "--out", out_dir,
+        ], timeout=args.draw_timeout_s)
+
+
+def best_combined_p(workdir: str) -> Dict[str, float]:
+    """Best combined p across every run's ks_summary + draw batteries."""
+    best_in_run, best_draw = 0.0, 0.0
+    for run in glob.glob(os.path.join(workdir, "runs", "*", "*")):
+        try:
+            with open(os.path.join(run, "ks_summary.json")) as fh:
+                summary = json.load(fh)
+            best_in_run = max(
+                best_in_run,
+                max((r.get("combined_pvalue", 0.0)
+                     for r in summary.get("results", [])), default=0.0))
+        except (OSError, ValueError):
+            pass
+        for f in glob.glob(os.path.join(run, "draws_ckpt*",
+                                        "self_feed_draws.json")):
+            try:
+                with open(f) as fh:
+                    draws = json.load(fh)
+                best_draw = max(
+                    best_draw,
+                    max((d.get("combined_pvalue", 0.0)
+                         for d in draws.get("draws", [])), default=0.0))
+            except (OSError, ValueError):
+                pass
+    return {"best_in_run": best_in_run, "best_draw": best_draw,
+            "best": max(best_in_run, best_draw)}
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    p.add_argument("--workdir", required=True,
+                   help="pipeline working dir (runs/ + sim cache live here)")
+    p.add_argument("--model", required=True)
+    p.add_argument("--epochs", type=int, required=True,
+                   help="trainer.train_steps (epochs of 1000 steps)")
+    p.add_argument("--config", default=str(REPO / "config.yaml"))
+    p.add_argument("--run-name", default="pipeline")
+    p.add_argument("-o", "--override", action="append", default=[],
+                   help="dot-path config override, e.g. model.num_layers=8")
+    p.add_argument("--min-checkpoints", type=int, default=100,
+                   help="checkpoint dirs required to call a run usable")
+    p.add_argument("--draws", type=int, default=12)
+    p.add_argument("--draw-seed", type=int, default=0)
+    p.add_argument("--top-k", type=int, default=3,
+                   help="checkpoints (by in-run p) to run draw batteries at")
+    p.add_argument("--deadline-hours", type=float, default=12.0)
+    p.add_argument("--poll-s", dest="poll_s", type=float, default=300.0)
+    p.add_argument("--train-timeout-s", type=float, default=21600.0)
+    p.add_argument("--draw-timeout-s", type=float, default=3600.0)
+    p.add_argument("--skip-draws", action="store_true")
+    return p
+
+
+def main(argv: Optional[Sequence[str]] = None,
+         runner: Runner = subprocess.run,
+         wait_fn: Optional[Callable[..., bool]] = None) -> int:
+    args = build_parser().parse_args(argv)
+    run = ensure_run(args, runner=runner, wait_fn=wait_fn)
+    if run is None:
+        print(json.dumps({"status": "failed", "stage": "train"}))
+        return 1
+    if not score_run(run, runner=runner):
+        print(json.dumps({"status": "failed", "stage": "score", "run": run}))
+        return 1
+    if not args.skip_draws:
+        draw_batteries(run, args, runner=runner, wait_fn=wait_fn)
+    result = best_combined_p(args.workdir)
+    result.update({"status": "ok", "run": run})
+    print(json.dumps(result))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

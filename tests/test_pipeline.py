@@ -1,0 +1,166 @@
+"""Pipeline runner (scripts/pipeline.py) — resilient train->score->draws
+orchestration.  The reference drives this by hand (README command sequence,
+``README.md:27-39``); here it is a tested CLI with idempotent stages."""
+
+import json
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "scripts"))
+import pipeline  # noqa: E402
+
+
+def _mk_run(workdir, n_ckpts=3, stamp="20260101", with_ckpt_files=True):
+    run = os.path.join(workdir, "runs", "graph_transformer", stamp)
+    for i in range(1, n_ckpts + 1):
+        ck = os.path.join(run, "checkpoints", str(i * 10))
+        os.makedirs(ck, exist_ok=True)
+        if with_ckpt_files:
+            open(os.path.join(ck, "model.ckpt"), "w").write("x")
+    return run
+
+
+def _mk_summary(run, pvals):
+    results = [{"checkpoint": ck, "combined_pvalue": p} for ck, p in pvals.items()]
+    with open(os.path.join(run, "ks_summary.json"), "w") as fh:
+        json.dump({"results": results}, fh)
+
+
+def _args(workdir, **kw):
+    argv = ["--workdir", workdir, "--model", "graph_transformer",
+            "--epochs", "5", "--min-checkpoints", "2",
+            "--deadline-hours", "0.001", "--poll-s", "0.01"]
+    for k, v in kw.items():
+        argv += [f"--{k.replace('_', '-')}", str(v)]
+    return pipeline.build_parser().parse_args(argv)
+
+
+def test_latest_run_and_usable(tmp_path):
+    wd = str(tmp_path)
+    assert pipeline.latest_run(wd) is None
+    run = _mk_run(wd, n_ckpts=3)
+    assert pipeline.latest_run(wd) == run
+    assert pipeline.run_usable(run, min_checkpoints=2)
+    assert not pipeline.run_usable(run, min_checkpoints=5)
+    assert not pipeline.run_usable(None, 1)
+
+
+def test_ensure_run_reuses_existing(tmp_path):
+    wd = str(tmp_path)
+    run = _mk_run(wd)
+    calls = []
+    got = pipeline.ensure_run(_args(wd), runner=lambda *a, **k: calls.append(a),
+                              wait_fn=lambda **k: True)
+    assert got == run and calls == []
+
+
+def test_ensure_run_trains_until_usable(tmp_path):
+    wd = str(tmp_path)
+    state = {"attempt": 0}
+
+    def runner(cmd, **kw):
+        state["attempt"] += 1
+        if state["attempt"] >= 2:  # first attempt "fails" (no run dir)
+            _mk_run(wd)
+        assert "--trainer.run_name" in cmd
+
+    args = _args(wd)
+    args.deadline_hours = 0.01  # enough for a couple of fast fake attempts
+    got = pipeline.ensure_run(args, runner=runner, wait_fn=lambda **k: True)
+    assert got is not None and state["attempt"] == 2
+    # train logs land in the workdir
+    assert os.path.exists(os.path.join(wd, "train_attempt1.log"))
+
+
+def test_ensure_run_gives_up_when_backend_dead(tmp_path):
+    wd = str(tmp_path)
+    got = pipeline.ensure_run(_args(wd), runner=lambda *a, **k: None,
+                              wait_fn=lambda **k: False)
+    assert got is None
+
+
+def test_score_run_idempotent(tmp_path):
+    wd = str(tmp_path)
+    run = _mk_run(wd)
+    _mk_summary(run, {"10": 0.5})
+    calls = []
+    assert pipeline.score_run(run, runner=lambda *a, **k: calls.append(a))
+    assert calls == []  # existing summary short-circuits
+
+    os.remove(os.path.join(run, "ks_summary.json"))
+
+    def scorer(cmd, env=None, **kw):
+        assert env["JAX_PLATFORMS"] == "cpu"
+        _mk_summary(run, {"10": 0.5})
+
+    assert pipeline.score_run(run, runner=scorer)
+
+
+def test_top_checkpoints_ranked_and_filtered(tmp_path):
+    wd = str(tmp_path)
+    run = _mk_run(wd, n_ckpts=3)  # checkpoints 10, 20, 30
+    _mk_summary(run, {"10": 0.1, "20": 0.9, "30": 0.5, "40": 1.0})  # 40 has no ckpt
+    assert pipeline.top_checkpoints(run, 2) == ["20"]  # 40 filtered, then top-2 → 20, 30... k=2
+    assert pipeline.top_checkpoints(run, 3) == ["20", "30"]
+
+
+def test_draw_batteries_skip_existing(tmp_path):
+    wd = str(tmp_path)
+    run = _mk_run(wd, n_ckpts=2)
+    _mk_summary(run, {"10": 0.9, "20": 0.1})
+    os.makedirs(os.path.join(run, "draws_ckpt10"))
+    launched = []
+    args = _args(wd, top_k=2, draws=4)
+    pipeline.draw_batteries(run, args, runner=lambda cmd, **k: launched.append(cmd),
+                            wait_fn=lambda **k: True)
+    assert len(launched) == 1 and "checkpoints/20/model.ckpt" in launched[0]
+
+
+def test_best_combined_p(tmp_path):
+    wd = str(tmp_path)
+    run = _mk_run(wd)
+    _mk_summary(run, {"10": 2e-3, "20": 5e-3})
+    dd = os.path.join(run, "draws_ckpt20")
+    os.makedirs(dd)
+    with open(os.path.join(dd, "self_feed_draws.json"), "w") as fh:
+        json.dump({"draws": [{"combined_pvalue": 1e-4},
+                             {"combined_pvalue": 8e-3}]}, fh)
+    best = pipeline.best_combined_p(wd)
+    assert best["best_in_run"] == pytest.approx(5e-3)
+    assert best["best_draw"] == pytest.approx(8e-3)
+    assert best["best"] == pytest.approx(8e-3)
+
+
+def test_main_end_to_end(tmp_path, capsys):
+    wd = str(tmp_path)
+
+    def runner(cmd, env=None, **kw):
+        cmd = list(cmd)
+        if any("train.py" in c for c in cmd):
+            run = _mk_run(wd)
+        elif any("ks_test.py" in c for c in cmd):
+            _mk_summary(pipeline.latest_run(wd), {"10": 0.7})
+        elif any("self_feed.py" in c for c in cmd):
+            out = cmd[cmd.index("--out") + 1]
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "self_feed_draws.json"), "w") as fh:
+                json.dump({"draws": [{"combined_pvalue": 0.8}]}, fh)
+
+    rc = pipeline.main(["--workdir", wd, "--model", "graph_transformer",
+                        "--epochs", "5", "--min-checkpoints", "2",
+                        "--top-k", "1"],
+                       runner=runner, wait_fn=lambda **k: True)
+    assert rc == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["status"] == "ok"
+    assert out["best"] == pytest.approx(0.8)
+
+
+def test_main_reports_train_failure(tmp_path, capsys):
+    rc = pipeline.main(["--workdir", str(tmp_path), "--model", "gt",
+                        "--epochs", "1", "--deadline-hours", "0.0001"],
+                       runner=lambda *a, **k: None, wait_fn=lambda **k: False)
+    assert rc == 1
+    assert json.loads(capsys.readouterr().out)["stage"] == "train"
