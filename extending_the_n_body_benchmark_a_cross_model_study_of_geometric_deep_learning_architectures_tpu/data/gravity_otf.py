@@ -36,7 +36,7 @@ import numpy as np
 from ..core.physics import GravityParams, sample_trajectory_batch
 from ..core.scene import Scene
 
-TARGETS = ("pos", "force", "pos_dt+vel_dt", "pos_dt+vel", "pos+vel", "pos_com+vel")
+from ..core.targets import TARGETS  # single source of target-spec truth
 
 
 class GravityDatasetOtf:

@@ -249,7 +249,10 @@ def time_cutoff_report(
         if not os.path.exists(path):
             continue
         records = [json.loads(l) for l in open(path) if l.strip()]
-        t0 = min(r["_time"] for r in records)
+        times = [r["_time"] for r in records if "_time" in r]
+        if not times:  # run crashed before its first epoch log
+            continue
+        t0 = min(times)
         best = 0
         for r in records:
             if "self_feed/step" in r and r["_time"] - t0 <= hours * 3600:
@@ -317,6 +320,10 @@ def main(argv=None):  # pragma: no cover - thin CLI
         f"best checkpoint: {s['best_checkpoint']} "
         f"(combined p = {s['best_combined_pvalue']})"
     )
+    if args.hours:
+        cuts = time_cutoff_report([args.run_path], hours=args.hours)
+        for rp, ck in cuts.items():
+            print(f"{rp}: max checkpoint in {args.hours}h = {ck}")
 
 
 if __name__ == "__main__":  # pragma: no cover

@@ -25,6 +25,10 @@ class Inferencer:
         self.model, self.params, self.dataset, self.args = load_run(
             run_dir, checkpoint=checkpoint, n_bodies=n_bodies
         )
+        # single-step prediction uses the run's *training* graph topology;
+        # rollout/evaluate default to fully connected like the trainer's
+        # checkpoint evals and the self_feed.py CLI (infer_self_feed.py:58),
+        # so Inferencer numbers stay comparable to the logged series
         self.num_neighbors = (
             getattr(self.args, "num_neighbors", None) or self.dataset.num_nodes - 1
         )
@@ -46,19 +50,26 @@ class Inferencer:
         return self._predict(self.params, scene)
 
     def rollout(
-        self, scene0: Scene, num_steps: int, rng=None
+        self, scene0: Scene, num_steps: int, rng=None,
+        num_neighbors: Optional[int] = None,
     ) -> Tuple[jnp.ndarray, jnp.ndarray, int]:
         """Autoregressive rollout from an initial scene; returns
-        ``(loc [B,T,N,3], vel [B,T,N,3], steps_survived)``."""
-        if num_steps not in self._rollouts:
-            self._rollouts[num_steps] = make_rollout_fn(
+        ``(loc [B,T,N,3], vel [B,T,N,3], steps_survived)``.
+
+        ``num_neighbors=None`` (default) rolls out fully connected — the
+        basis of the trainer's checkpoint evals and the reference's
+        ``run_inference`` — pass ``self.num_neighbors`` to use the run's
+        training KNN graph instead."""
+        key = (num_steps, num_neighbors)
+        if key not in self._rollouts:
+            self._rollouts[key] = make_rollout_fn(
                 self.model, num_steps,
-                num_neighbors=self.num_neighbors,
+                num_neighbors=num_neighbors,
                 target=self.dataset.target,
                 matmul_precision=self.matmul_precision,
                 train_mode=self.train_mode,
             )
-        fn = self._rollouts[num_steps]
+        fn = self._rollouts[key]
         if self.train_mode:
             loc, vel, survived = fn(
                 self.params, scene0, rng if rng is not None else jax.random.PRNGKey(0)
@@ -68,14 +79,18 @@ class Inferencer:
         return loc, vel, int(survived.min())
 
     def evaluate(self, num_steps: Optional[int] = None, save_dir: Optional[str] = None,
-                 rng=None):
-        """Fresh-GT rollout + macro KS scoring (run_inference semantics)."""
+                 rng=None, num_neighbors: Optional[int] = None):
+        """Fresh-GT rollout + macro KS scoring (run_inference semantics).
+
+        Fully connected by default (``num_neighbors=None``), matching the
+        trainer's checkpoint evals and ``self_feed.py`` so the returned
+        p-values are directly comparable to the run's logged series."""
         from ..metrics import artifacts
         from .self_feed import run_self_feed
 
         loc_gt, vel_gt, loc_pred, vel_pred, survived = run_self_feed(
             self.model, self.params, self.dataset, num_steps=num_steps,
-            num_neighbors=self.num_neighbors,
+            num_neighbors=num_neighbors,
             matmul_precision=self.matmul_precision,
             train_mode=self.train_mode,
             rng=rng,

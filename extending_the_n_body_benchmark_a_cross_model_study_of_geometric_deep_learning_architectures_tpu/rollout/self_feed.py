@@ -29,6 +29,7 @@ import jax.numpy as jnp
 
 from ..core import graph as G
 from ..core.scene import Scene
+from ..core.targets import decode_next_state
 
 EXPLOSION_THRESHOLD = 1e9  # self_feed.py:26
 
@@ -70,7 +71,19 @@ def make_rollout_fn(
       ``loc, vel`` of shape ``[B, T, N, 3]`` (frame 0 = initial state) and
       ``survived [B]`` int32 per-sim surviving step counts.
     """
-    pos_dt = target.startswith("pos_dt")
+    # Target-aware state integration.  The reference only special-cases
+    # ``pos_dt+vel`` (``infer_self_feed.py:185-186``) and silently
+    # mis-integrates the other trainable targets (``vel_dt`` deltas fed back
+    # as absolute velocities, ``pos_com`` never re-offset); here every
+    # 6-dim target rolls out with its actual semantics and the 3-dim
+    # targets (``pos``, ``force``) are rejected loudly — they carry no
+    # velocity channel, so a self-feed rollout is undefined for them.
+    if target in ("pos", "force"):
+        raise ValueError(
+            f"target {target!r} is not self-feedable: the model predicts no "
+            "velocity channel to close the loop with (the reference crashes "
+            "on these too — infer_self_feed.py:183-186)"
+        )
 
     @jax.jit
     def rollout(params, scene0: Scene, rng=None):
@@ -106,8 +119,7 @@ def make_rollout_fn(
                 out = model.apply(params, scene, mask, True, rngs={"dropout": sub})
             else:
                 out = model.apply(params, scene, mask)
-            new_pos = pos + out[..., :3] if pos_dt else out[..., :3]
-            new_vel = out[..., 3:6]
+            new_pos, new_vel = decode_next_state(out, pos, vel, target)
             bad = jnp.any(
                 (jnp.abs(new_pos) > explosion_threshold)
                 | ~jnp.isfinite(new_pos)

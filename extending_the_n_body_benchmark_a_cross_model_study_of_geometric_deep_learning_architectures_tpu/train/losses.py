@@ -12,6 +12,7 @@ import jax.numpy as jnp
 
 from ..core.physics import energies
 from ..core.scene import Scene
+from ..core.targets import decode_next_state
 
 
 def mse(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
@@ -49,33 +50,44 @@ def target_common_loss(
     return total, terms
 
 
-def centre_of_mass_loss(pred, scene: Scene, y, weight: float = 1.0):
+def centre_of_mass_loss(pred, scene: Scene, y, weight: float = 1.0,
+                        target: str = "pos_dt+vel"):
     """CoM MSE between predicted and true next positions
-    (``training/losses.py:48-84``) — dense mean over the body axis."""
-    pos_pred = scene.pos + pred[..., :3]
-    pos_true = scene.pos + y[..., :3]
+    (``training/losses.py:48-84``) — dense mean over the body axis.
+
+    Deviation: the reference hard-codes ``data.pos + pred[..., :3]``
+    (``losses.py:64-67``), which is only correct for ``pos_dt`` targets;
+    here the next positions are decoded per the actual target spec.
+    """
+    pos_pred, _ = decode_next_state(pred, scene.pos, scene.vel, target)
+    pos_true, _ = decode_next_state(y, scene.pos, scene.vel, target)
     com_pred = jnp.mean(pos_pred, axis=1)
     com_true = jnp.mean(pos_true, axis=1)
     return weight * mse(com_pred, com_true)
 
 
-def momentum_loss(pred, scene: Scene, y, weight: float = 0.0001):
+def momentum_loss(pred, scene: Scene, y, weight: float = 0.0001,
+                  target: str = "pos_dt+vel"):
     """Frame-to-frame momentum conservation penalty
     (``training/losses.py:131-241``): MSE(total predicted momentum,
-    total current momentum) per simulation."""
+    total current momentum) per simulation.  The predicted next velocity is
+    decoded per the target spec (the reference reads ``pred[..., 3:]``
+    unconditionally, wrong for ``vel_dt`` targets)."""
+    _, vel_pred = decode_next_state(pred, scene.pos, scene.vel, target)
     mom_cur = jnp.sum(scene.mass * scene.vel, axis=1)  # [B,3]
-    mom_pred = jnp.sum(scene.mass * pred[..., 3:6], axis=1)
+    mom_pred = jnp.sum(scene.mass * vel_pred, axis=1)
     return weight * mse(mom_pred, mom_cur)
 
 
-def energy_loss(pred, scene: Scene, y, G: float, softening: float, weight: float = 1.0):
+def energy_loss(pred, scene: Scene, y, G: float, softening: float,
+                weight: float = 1.0, target: str = "pos_dt+vel"):
     """Energy MSE between predicted and target next states
     (``training/losses.py:87-128``) — computed on-device instead of the
-    reference's host NumPy round-trip."""
-    pos_pred = scene.pos + pred[..., :3]
-    pos_true = scene.pos + y[..., :3]
-    _, _, te_pred = energies(pos_pred, pred[..., 3:6], scene.mass, G, softening)
-    _, _, te_true = energies(pos_true, y[..., 3:6], scene.mass, G, softening)
+    reference's host NumPy round-trip, with target-aware state decode."""
+    pos_pred, vel_pred = decode_next_state(pred, scene.pos, scene.vel, target)
+    pos_true, vel_true = decode_next_state(y, scene.pos, scene.vel, target)
+    _, _, te_pred = energies(pos_pred, vel_pred, scene.mass, G, softening)
+    _, _, te_true = energies(pos_true, vel_true, scene.mass, G, softening)
     return weight * mse(te_pred, te_true)
 
 
@@ -103,20 +115,25 @@ def build_loss_fn(args) -> Callable:
             f"energy_loss/momentum_loss need a velocity component in the "
             f"prediction (target={args.target!r} has only {targets})"
         )
+    if use_com and args.target == "force":
+        raise ValueError("com_loss is undefined for target='force' "
+                         "(the prediction encodes no position state)")
+
+    target_spec = args.target
 
     def loss_fn(pred, scene, y):
         total, terms = target_common_loss(pred, scene, y, targets, weights)
         terms["Total target loss"] = total
         if use_com:
-            l = centre_of_mass_loss(pred, scene, y)
+            l = centre_of_mass_loss(pred, scene, y, target=target_spec)
             terms["Centre of mass loss"] = l
             total = total + l
         if use_energy:
-            l = energy_loss(pred, scene, y, G, soft)
+            l = energy_loss(pred, scene, y, G, soft, target=target_spec)
             terms["Energy loss"] = l
             total = total + l
         if use_momentum:
-            l = momentum_loss(pred, scene, y, momentum_w)
+            l = momentum_loss(pred, scene, y, momentum_w, target=target_spec)
             terms["Momentum loss"] = l
             total = total + l
         return total, terms

@@ -424,17 +424,13 @@ class Trainer:
         if profile_epochs:
             # first-class XLA tracing (SURVEY.md §5.1 TPU equivalent): open
             # <run>/profile with TensorBoard/XProf or Perfetto
-            import jax as _jax
-
-            _jax.profiler.start_trace(os.path.join(self.save_dir_path, "profile"))
+            jax.profiler.start_trace(os.path.join(self.save_dir_path, "profile"))
         try:
             while train_steps is None or self.step_count < train_steps:
                 self.train_one_epoch()
                 self.step_count += 1
                 if profile_epochs and self.step_count == profile_epochs:
-                    import jax as _jax
-
-                    _jax.profiler.stop_trace()
+                    jax.profiler.stop_trace()
                     profile_epochs = None
                 if self.step_count % self.args.save_model_every == 0:
                     self.save_model()
@@ -490,8 +486,8 @@ class Trainer:
 
             self._valid_step = vstep
 
-        means: Dict[str, RunningMean] = {}
         vds = self.valid_dataset if self.valid_dataset is not None else self.dataset
+        results = []
         for _ in range(num_batches):
             batch = vds.get_batch()
             scene, y = batch[0], batch[1]
@@ -499,9 +495,16 @@ class Trainer:
             total, terms, perc = self._valid_step(
                 self.params, scene.astype(self.dtype), y.astype(self.dtype), *extra
             )
-            means.setdefault("loss", RunningMean()).update(total)
-            for name, v in {**terms, **perc}.items():
-                means.setdefault(name, RunningMean()).update(v)
+            results.append((total, {**terms, **perc}))
+        # ONE device->host fetch for the whole validation epoch — per-metric
+        # float() fetches cost a tunnel round-trip each (same rationale as
+        # the train path above)
+        results = jax.device_get(results)
+        means: Dict[str, RunningMean] = {}
+        for total, named in results:
+            means.setdefault("loss", RunningMean()).update(float(total))
+            for name, v in named.items():
+                means.setdefault(name, RunningMean()).update(float(v))
         log = {f"valid/{k}": m.compute() for k, m in means.items()}
         log["valid/step"] = self.step_count - 1
         self.logger.log(log)
@@ -593,7 +596,10 @@ class Trainer:
         }
 
         def _log_p(prefix: str, val: float):
-            safe = max(float(val), 1e-300) if (val == val and val > 0.0) else 1e-300
+            if val != val:  # NaN = "no data" (e.g. zero collision events in
+                return      # a short rollout) — skip rather than log the
+                            # 1e-300 floor, which would read as maximally bad
+            safe = max(float(val), 1e-300) if val > 0.0 else 1e-300
             payload[prefix] = safe
             payload[f"{prefix}_log10"] = float(np.log10(safe))
             payload[f"{prefix}_neglog10"] = float(-np.log10(safe))

@@ -303,3 +303,24 @@ def test_scoring_bases_published_vs_hpo(tmp_path):
     summary = evaluate_run_checkpoints(str(tmp_path), plot=False)
     assert summary["best_combined_pvalue"] == comb_pub
 
+
+
+def test_time_cutoff_report_skips_empty_metrics(tmp_path):
+    """A run that crashed before its first epoch log (empty metrics.jsonl)
+    is skipped instead of aborting the whole multi-run report."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation.ks_checkpoints import (
+        time_cutoff_report,
+    )
+
+    empty = tmp_path / "empty_run"
+    empty.mkdir()
+    (empty / "metrics.jsonl").write_text("")
+    good = tmp_path / "good_run"
+    good.mkdir()
+    import time as _time
+    t0 = _time.time()
+    with open(good / "metrics.jsonl", "w") as f:
+        f.write(json.dumps({"_time": t0, "self_feed/step": 9}) + "\n")
+    out = time_cutoff_report([str(empty), str(good)], hours=1.0)
+    assert str(empty) not in out
+    assert out[str(good)] == 10

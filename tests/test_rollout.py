@@ -147,3 +147,68 @@ def test_train_mode_rollout_no_dropout_matches_deterministic():
     loc_d, _, _ = det(params, s0)
     loc_t, _, _ = trn(params, s0, jax.random.PRNGKey(3))
     np.testing.assert_allclose(np.asarray(loc_d), np.asarray(loc_t), rtol=1e-6)
+
+
+class ConstantDeltas(nn.Module):
+    """Predicts fixed (Δpos, Δvel)-style outputs for target-semantics tests."""
+
+    dpos: float = 0.1
+    dvel: float = 0.01
+
+    @nn.compact
+    def __call__(self, scene, mask, train=False):
+        return jnp.concatenate(
+            [jnp.full_like(scene.pos, self.dpos),
+             jnp.full_like(scene.vel, self.dvel)], axis=-1)
+
+    def get_model_size(self):
+        return 1
+
+
+def test_rollout_vel_dt_integrates_velocity():
+    """target='pos_dt+vel_dt': the velocity channel is a delta and must be
+    integrated (the reference mis-feeds it as an absolute velocity,
+    infer_self_feed.py:185-186)."""
+    model = ConstantDeltas()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(1), s0, None)
+    fn = make_rollout_fn(model, num_steps=8, target="pos_dt+vel_dt")
+    loc, vel, survived = fn(params, s0)
+    np.testing.assert_allclose(
+        np.asarray(vel[:, 5]), np.asarray(s0.vel) + 5 * 0.01, rtol=1e-5)
+    np.testing.assert_allclose(
+        np.asarray(loc[:, 5]), np.asarray(s0.pos) + 5 * 0.1, rtol=1e-5)
+
+
+def test_rollout_pos_com_reoffsets_positions():
+    """target='pos_com+vel': predictions are relative to the input frame's
+    unweighted CoM (dataset_gravity_otf.py:234-236) and must be re-offset."""
+
+    class ComEcho(nn.Module):
+        """Predicts (pos - com(pos)) + 0.1 and copies velocity: under correct
+        decode, next_pos = pos + 0.1 exactly."""
+
+        @nn.compact
+        def __call__(self, scene, mask, train=False):
+            com = jnp.mean(scene.pos, axis=1, keepdims=True)
+            return jnp.concatenate(
+                [scene.pos - com + 0.1, scene.vel], axis=-1)
+
+        def get_model_size(self):
+            return 1
+
+    model = ComEcho()
+    s0 = scene0()
+    params = model.init(jax.random.PRNGKey(1), s0, None)
+    fn = make_rollout_fn(model, num_steps=6, target="pos_com+vel")
+    loc, vel, _ = fn(params, s0)
+    np.testing.assert_allclose(
+        np.asarray(loc[:, 3]), np.asarray(s0.pos) + 3 * 0.1, rtol=1e-5)
+
+
+def test_rollout_rejects_non_feedable_targets():
+    import pytest
+
+    for target in ("pos", "force"):
+        with pytest.raises(ValueError, match="not self-feedable"):
+            make_rollout_fn(ConstantDrift(), num_steps=5, target=target)

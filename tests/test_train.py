@@ -188,3 +188,92 @@ def test_checkpoint_roundtrip_orbax(tmp_path):
     assert jax.tree_util.tree_structure(loaded["opt_state"]) == (
         jax.tree_util.tree_structure(opt_state)
     )
+
+
+def test_decode_next_state_all_targets():
+    """core/targets.decode_next_state — the shared target-spec decode the
+    reference lacks (it hard-codes pos_dt+vel in losses.py:64-67,99-103 and
+    infer_self_feed.py:185-186)."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.core.targets import (
+        decode_next_state,
+    )
+
+    B, N = 2, 4
+    key = jax.random.PRNGKey(0)
+    pos = jax.random.normal(key, (B, N, 3))
+    vel = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3))
+    dp = jnp.full((B, N, 3), 0.1)
+    dv = jnp.full((B, N, 3), 0.02)
+    arr6 = jnp.concatenate([dp, dv], axis=-1)
+
+    p, v = decode_next_state(arr6, pos, vel, "pos_dt+vel")
+    np.testing.assert_allclose(np.asarray(p), np.asarray(pos + dp), rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(v), np.asarray(dv), rtol=1e-6)
+
+    p, v = decode_next_state(arr6, pos, vel, "pos_dt+vel_dt")
+    np.testing.assert_allclose(np.asarray(v), np.asarray(vel + dv), rtol=1e-6)
+
+    p, v = decode_next_state(arr6, pos, vel, "pos+vel")
+    np.testing.assert_allclose(np.asarray(p), np.asarray(dp), rtol=1e-6)
+
+    p, v = decode_next_state(arr6, pos, vel, "pos_com+vel")
+    com = jnp.mean(pos, axis=1, keepdims=True)
+    np.testing.assert_allclose(np.asarray(p), np.asarray(dp + com), rtol=1e-6)
+
+    p, v = decode_next_state(dp, pos, vel, "pos")
+    np.testing.assert_allclose(np.asarray(p), np.asarray(dp), rtol=1e-6)
+    assert v is None
+
+    with pytest.raises(ValueError, match="force"):
+        decode_next_state(arr6, pos, vel, "force")
+
+
+def test_aux_losses_target_aware():
+    """com/momentum/energy losses decode predictions per the target spec:
+    a perfect prediction yields ~zero aux loss under every 6-dim target."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.losses import (
+        centre_of_mass_loss,
+        momentum_loss,
+    )
+
+    B, N = 2, 5
+    pos = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    vel = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3))
+    mass = jnp.ones((B, N, 1))
+    scene = Scene(pos=pos, vel=vel, force=jnp.zeros_like(pos), mass=mass)
+
+    next_pos = pos + 0.1
+    next_vel = vel  # momentum-conserving next state
+
+    encodings = {
+        "pos_dt+vel": jnp.concatenate([next_pos - pos, next_vel], axis=-1),
+        "pos_dt+vel_dt": jnp.concatenate(
+            [next_pos - pos, next_vel - vel], axis=-1),
+        "pos+vel": jnp.concatenate([next_pos, next_vel], axis=-1),
+        "pos_com+vel": jnp.concatenate(
+            [next_pos - jnp.mean(pos, axis=1, keepdims=True), next_vel],
+            axis=-1),
+    }
+    for target, y in encodings.items():
+        # pred == y: CoM loss must be exactly 0 under the right decode
+        l = centre_of_mass_loss(y, scene, y, target=target)
+        assert float(l) < 1e-10, (target, float(l))
+        # momentum of the decoded next_vel equals current momentum
+        l = momentum_loss(y, scene, y, weight=1.0, target=target)
+        assert float(l) < 1e-10, (target, float(l))
+
+    # the old hard-coded decode would NOT be zero for vel_dt/pos_com:
+    y = encodings["pos_dt+vel_dt"]
+    wrong = momentum_loss(y, scene, y, weight=1.0, target="pos_dt+vel")
+    assert float(wrong) > 1e-6
+
+
+def test_build_loss_fn_rejects_invalid_aux_targets():
+    args = SimpleNamespace(target="pos", com_loss=False, energy_loss=True,
+                           momentum_loss=False)
+    with pytest.raises(ValueError, match="velocity component"):
+        build_loss_fn(args)
+    args = SimpleNamespace(target="force", com_loss=True, energy_loss=False,
+                           momentum_loss=False)
+    with pytest.raises(ValueError, match="com_loss"):
+        build_loss_fn(args)
