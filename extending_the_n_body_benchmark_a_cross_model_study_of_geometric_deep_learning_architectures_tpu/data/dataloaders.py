@@ -104,18 +104,22 @@ class OfflineSegnnDataLoader:
             cutoff_rate=getattr(args, "cutoff_rate", 0.0),
             target=args.target,
             batch_size=args.batch_size,
+            # batch selection + test-split rotation augmentation follow the
+            # run's data seed like the OTF loader above (not a fixed 0)
+            seed=getattr(args, "data_seed", None) or 0,
         )
 
     def get_batch(self):
-        scene, y, self._last_mask = self.dataset.get_batch()
+        scene, y, _mask = self.dataset.get_batch()
         return scene, y
 
     def preprocess_batch(self, scene: Scene) -> jnp.ndarray:
-        if getattr(self, "_last_mask", None) is None:
-            import numpy as _np
+        # always derived from the scene passed in — a mask cached from the
+        # most recent get_batch would silently mismatch any other scene's
+        # geometry (validation batches, rollout frames)
+        import numpy as _np
 
-            return jnp.asarray(self.dataset.edge_mask(_np.asarray(scene.pos)))
-        return self._last_mask
+        return jnp.asarray(self.dataset.edge_mask(_np.asarray(scene.pos)))
 
     def postprocess_batch(self, predictions):
         return predictions

@@ -218,6 +218,13 @@ def adjust_width_to_target(
     tolerance of the target (``hpo.py:189-233``).  Uses ``jax.eval_shape``
     (no compilation) to count params.  Returns (kwargs, param_count)."""
     key = _WIDTH_KEY.get(model_type, "hidden_features")
+    if key not in model_kwargs:
+        raise ValueError(
+            f"param-budget mode needs a width knob to bisect, but "
+            f"{model_type!r} sampled no {key!r} (its search space has no "
+            f"width dimension) — pass one via the base config's models "
+            f"section or use mode='free'/'time_matched'"
+        )
     heads = model_kwargs.get("num_heads", 1) or 1
     kwargs = dict(model_kwargs)
 
@@ -373,6 +380,8 @@ def run_study(
         cfg = copy.deepcopy(base_config) if base_config else {}
         cfg.setdefault("main", {})["model_type"] = model_type
         cfg["main"]["dataloader_type"] = f"{model_type}_nbody"
+        # wholesale assignment is safe: the study loop already layered the
+        # caller's models section under the sampled/adjusted kwargs
         cfg.setdefault("models", {})[model_type] = model_kwargs
         tr = cfg.setdefault("trainers", {}).setdefault("trainer_nbody", {})
         tr.update(trainer_overrides)
@@ -397,27 +406,46 @@ def run_study(
             # run_short_training_and_score loop shape, hpo.py:307-329 —
             # time check at :328, with reporting actually wired up)
             t_start = time.time()
-            while trainer.step_count < train_epochs:
-                trainer.train_one_epoch()
-                trainer.step_count += 1
-                if trainer.step_count % eval_every == 0:
-                    # keep-training crash resilience, matching
-                    # Trainer.train()'s own eval wrapper
-                    try:
-                        trainer.run_self_feed_eval()
-                        if report is not None:
-                            report(
-                                trainer.step_count, score_run(trainer.save_dir_path)
-                            )
-                    except PrunedTrial:
-                        raise
-                    except Exception as e:
-                        print(f"self-feed eval failed at {trainer.step_count}: {e!r}")
-                if (
-                    trial_minutes is not None
-                    and (time.time() - t_start) / 60.0 >= trial_minutes
-                ):
-                    break
+            last_eval = 0
+
+            def _eval_and_report():
+                nonlocal last_eval
+                last_eval = trainer.step_count
+                # keep-training crash resilience, matching Trainer.train()'s
+                # own eval wrapper
+                try:
+                    trainer.run_self_feed_eval()
+                    if report is not None:
+                        report(trainer.step_count, score_run(trainer.save_dir_path))
+                except PrunedTrial:
+                    raise
+                except Exception as e:
+                    print(f"self-feed eval failed at {trainer.step_count}: {e!r}")
+
+            try:
+                while trainer.step_count < train_epochs:
+                    trainer.train_one_epoch()
+                    trainer.step_count += 1
+                    if trainer.step_count % eval_every == 0:
+                        trainer.save_model()  # save_model_every cadence
+                        _eval_and_report()
+                    if (
+                        trial_minutes is not None
+                        and (time.time() - t_start) / 60.0 >= trial_minutes
+                    ):
+                        break
+                # a trial stopped by the wall-clock budget (or whose final
+                # epoch missed the eval cadence) still needs a scored
+                # checkpoint at its end state — otherwise short time_matched
+                # budgets produce zero checkpoints and every trial floors at
+                # log(1e-300), making the study's scores meaningless
+                if last_eval < trainer.step_count:
+                    _eval_and_report()
+            except BaseException:
+                # keep the partial checkpoint like Trainer.train()'s crash
+                # path (covers PrunedTrial too)
+                trainer.save_model(final=True)
+                raise
             trainer.save_model(final=True)
         minutes = max((time.time() - t_obj) / 60.0, 1e-9)
         last_telemetry["steps_per_min"] = (
@@ -445,16 +473,17 @@ def run_study(
         last_telemetry.clear()
         params = suggest_trial(model_type, history, seed)
         model_kwargs, trainer_overrides = trial_to_overrides(model_type, params)
-        n_params = None
-        if mode in PARAM_TARGETS:
-            model_kwargs, n_params = adjust_width_to_target(
-                model_type, model_kwargs, PARAM_TARGETS[mode]
-            )
+        # layer the sampled knobs over the caller's configured model section
+        # so width bisection counts params for the SAME architecture the
+        # trial will train (e.g. a base lmax_attr=2 must not silently revert
+        # to the registry default)
+        base_mk = dict(((base_config or {}).get("models") or {}).get(model_type) or {})
+        model_kwargs = {**base_mk, **model_kwargs}
         record = {
             "number": len(history),
             "params": params,
             "model_kwargs": model_kwargs,
-            "n_params": n_params,
+            "n_params": None,
             "status": "running",
             "value": None,
         }
@@ -470,6 +499,14 @@ def run_study(
                 raise PrunedTrial(f"step {step}: {value} below running median")
 
         try:
+            # inside the try so a bisection failure (e.g. no width knob)
+            # records a failed trial instead of crashing the whole study
+            if mode in PARAM_TARGETS:
+                model_kwargs, n_params = adjust_width_to_target(
+                    model_type, model_kwargs, PARAM_TARGETS[mode]
+                )
+                record["model_kwargs"] = model_kwargs
+                record["n_params"] = n_params
             call_args = (model_kwargs, trainer_overrides)
             if pruner is not None and takes_report:
                 record["value"] = float(objective(*call_args, report=report))

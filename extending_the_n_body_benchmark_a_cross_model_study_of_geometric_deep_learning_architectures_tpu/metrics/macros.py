@@ -206,23 +206,13 @@ def count_group_collisions(
     return counts
 
 
-MACRO_KEYS = (
-    "sticking_histogram",
-    "collision_histogram",
-    "leaving_count",
-    "sharp_turn_count_30",
-    "sharp_turn_count_45",
-    "max_com_distance",
-    "group_collision_count",
-)
-
-
 def compute_all_macros(loc: np.ndarray, vel: np.ndarray) -> Dict[str, np.ndarray]:
     """All per-sim macro statistics for one trajectory batch.
 
-    Uses the native C++ kernels (:mod:`.native`) when the library builds
-    (disable with ``NBX_DISABLE_NATIVE=1``); falls back to the vectorised
-    NumPy implementations above, which remain the test oracle.
+    Uses the native C++ kernels (:mod:`.native`) when the library builds;
+    each native wrapper falls back to its vectorised NumPy twin above on its
+    own (and ``NBX_DISABLE_NATIVE=1`` forces that path), so no dispatch is
+    needed here.
 
     Args:
       loc, vel: ``[S, T, N, 3]``.
@@ -235,27 +225,13 @@ def compute_all_macros(loc: np.ndarray, vel: np.ndarray) -> Dict[str, np.ndarray
 
     from . import native
 
-    mod = native if native.get_lib() is not None else None
-    stick_coll = (mod or _NUMPY_IMPL).count_stickings_and_collisions(loc)
-    stick, coll = stick_coll
-    impl = mod or _NUMPY_IMPL
+    stick, coll = native.count_stickings_and_collisions(loc)
     return {
         "sticking_histogram": stick,
         "collision_histogram": coll,
-        "leaving_count": impl.count_balls_leaving_defined_area(loc),
-        "sharp_turn_count_30": impl.count_sharp_turns(vel, 30),
-        "sharp_turn_count_45": impl.count_sharp_turns(vel, 45),
-        "com_movement": impl.max_com_distance(loc),
-        "group_collision_count": impl.count_group_collisions(loc),
+        "leaving_count": native.count_balls_leaving_defined_area(loc),
+        "sharp_turn_count_30": native.count_sharp_turns(vel, 30),
+        "sharp_turn_count_45": native.count_sharp_turns(vel, 45),
+        "com_movement": native.max_com_distance(loc),
+        "group_collision_count": native.count_group_collisions(loc),
     }
-
-
-class _NumpyImpl:
-    count_stickings_and_collisions = staticmethod(count_stickings_and_collisions)
-    count_balls_leaving_defined_area = staticmethod(count_balls_leaving_defined_area)
-    count_sharp_turns = staticmethod(count_sharp_turns)
-    max_com_distance = staticmethod(max_com_distance)
-    count_group_collisions = staticmethod(count_group_collisions)
-
-
-_NUMPY_IMPL = _NumpyImpl()

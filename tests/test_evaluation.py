@@ -164,8 +164,10 @@ def test_run_study_with_stub_objective(tmp_path):
 def test_run_study_time_matched(tmp_run_dir):
     """``mode=time_matched``: no param-budget matching, and ``trial_minutes``
     bounds the real-Trainer objective's epoch loop (reference hpo.py:328) —
-    at a 0-minute budget exactly one epoch runs, so no checkpoint is ever
-    evaluated and the score is the 1e-300 floor."""
+    at a 0-minute budget exactly one epoch runs, and the budget break still
+    triggers a final eval so the trial has a *scored* checkpoint (without
+    it every short-budget trial would floor at log(1e-300) and the study's
+    scores would be meaningless)."""
     base = {
         "models": {"egnn_mc": dict(num_layers=1, hidden_edge_dim=16, hidden_coord_dim=16)},
         "dataloaders": {
@@ -196,11 +198,14 @@ def test_run_study_time_matched(tmp_run_dir):
     assert records[0]["n_params"] is None
     # runtime telemetry (reference hpo.py:435-462 steps_per_min/peak_vram_mb)
     assert records[0]["steps_per_min"] > 0
-    # stopped after 1 epoch: eval_every=3 never reached -> floor score
-    assert best["value"] == pytest.approx(math.log(1e-300))
+    # stopped after 1 epoch, but the break ran a final eval: checkpoint 1
+    # exists, is scored, and the trial value is a real KS log-p (> floor
+    # is not guaranteed for an untrained model, but the score must come
+    # from actual macro files rather than default to the floor)
     run_dirs = list((tmp_run_dir / "runs" / "egnn_mc").iterdir())
     assert len(run_dirs) == 1
-    assert not (run_dirs[0] / "checkpoints").exists()
+    assert (run_dirs[0] / "checkpoints" / "1").is_dir()
+    assert best["value"] is not None
     # the epoch loop still saved the final model (reference writes a final
     # checkpoint after the timed loop)
     assert (run_dirs[0] / "model.ckpt").exists()
@@ -324,3 +329,35 @@ def test_time_cutoff_report_skips_empty_metrics(tmp_path):
     out = time_cutoff_report([str(empty), str(good)], hours=1.0)
     assert str(empty) not in out
     assert out[str(good)] == 10
+
+
+def test_run_study_param_mode_fails_cleanly_without_width_knob(tmp_path):
+    """A model whose search space has no width dimension (gmn) cannot be
+    param-budget matched: the trial is recorded as failed (resumable study)
+    instead of the whole study crashing with a KeyError."""
+    best = hpo.run_study(
+        "gmn", trials=1, mode="param_small", study_dir=str(tmp_path),
+        objective_fn=lambda mk, tr: 0.0,
+    )
+    store = tmp_path / "gmn_param_small_trials.jsonl"
+    records = [json.loads(l) for l in open(store)]
+    assert len(records) == 1
+    assert records[0]["status"] == "failed"
+    assert "width knob" in records[0]["error"]
+    assert best is None  # no completed trials
+
+
+def test_run_study_layers_base_model_config_under_samples(tmp_path):
+    """The caller's models section survives into the trial kwargs (the
+    sampled knobs are layered ON TOP, not substituted wholesale)."""
+    seen = {}
+
+    def objective(model_kwargs, trainer_overrides):
+        seen.update(model_kwargs)
+        return 1.0
+
+    base = {"models": {"painn": {"use_tanh": True}}}
+    hpo.run_study("painn", trials=1, mode="free", study_dir=str(tmp_path),
+                  base_config=base, objective_fn=objective)
+    assert seen.get("use_tanh") is True          # from base config
+    assert "hidden_features" in seen             # sampled

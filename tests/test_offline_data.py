@@ -184,3 +184,36 @@ def test_valid_partition_is_independent_of_training_stream(tmp_path, monkeypatch
     # a re-created valid loader reproduces its own stream (determinism)
     valid_ds2 = create_dataloader(args, partition="valid").dataset
     assert np.allclose(v_loc, np.asarray(valid_ds2._traj["loc"]))
+
+
+def test_offline_dataloader_forwards_data_seed(tmp_path):
+    """args.data_seed reaches OfflineNBodyDataset: different seeds give
+    different batch selections (previously the hard-coded seed 0 made every
+    'independent' run byte-identical)."""
+    from types import SimpleNamespace
+
+    import numpy as np
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.data.dataloaders import (
+        create_dataloader,
+    )
+
+    generate_offline_dataset(
+        str(tmp_path), n_isolated=5, num_train=8, num_valid=1, num_test=1,
+        length=200, length_test=200, sample_freq=50,
+    )
+
+    def first_batch(seed):
+        args = SimpleNamespace(
+            model_type="segnn", dataloader_type="segnn_nbody_offline",
+            dataset_name="5_0_0", data_directory=str(tmp_path),
+            target="pos_dt+vel", batch_size=2, frame_0=1, frame_T=3,
+            data_seed=seed,
+        )
+        scene, _ = create_dataloader(args).get_batch()
+        return np.asarray(scene.pos)
+
+    a1, a2 = first_batch(1), first_batch(1)
+    b = first_batch(2)
+    np.testing.assert_array_equal(a1, a2)  # same seed -> same stream
+    assert not np.array_equal(a1, b)       # different seed -> different
