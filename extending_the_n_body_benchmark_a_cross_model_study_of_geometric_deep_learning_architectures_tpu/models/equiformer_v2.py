@@ -58,6 +58,42 @@ def _uniform(bound):
     return init
 
 
+def _concat_atom_edge_embeddings(
+    x_edge, charges, max_num_elements: int, edge_channels: int, dtype,
+    name_prefix: str = "",
+):
+    """Append per-edge source/target atom embeddings to the edge scalars.
+
+    One shared implementation of the reference's thrice-instantiated pattern
+    (``transformer_block.py:111-112`` attention pair, ``input_block.py:60-73``
+    edge-degree pair, ``equiformer_v2_nbody.py:240-252`` shared pair):
+    two ``nn.Embed`` tables with uniform(±0.001) init, broadcast over the
+    dense edge grid in [receiver, sender] layout.  Must be called inside an
+    ``nn.compact`` scope; ``name_prefix`` keeps the three call sites'
+    parameter names distinct ("", "shared_", "edge_degree_").
+    """
+    B, N = charges.shape
+    src = nn.Embed(
+        max_num_elements, edge_channels, embedding_init=_uniform(0.001),
+        dtype=dtype, param_dtype=jnp.float32,
+        name=f"{name_prefix}source_embedding",
+    )(charges)
+    tgt = nn.Embed(
+        max_num_elements, edge_channels, embedding_init=_uniform(0.001),
+        dtype=dtype, param_dtype=jnp.float32,
+        name=f"{name_prefix}target_embedding",
+    )(charges)
+    # layout [r, s]: source = sender (axis 2), target = receiver (axis 1)
+    return jnp.concatenate(
+        [
+            x_edge,
+            jnp.broadcast_to(src[:, None, :, :], (B, N, N, edge_channels)),
+            jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, edge_channels)),
+        ],
+        axis=-1,
+    )
+
+
 def _normal_fanin_kernel(key, shape, dtype=jnp.float32):
     """``weight_init='normal'``: N(0, 1/sqrt(fan_in)) on Linear kernels
     (``equiformer_v2_nbody.py:584-590``; flax Dense kernel is [in, out])."""
@@ -340,31 +376,9 @@ class SO2Attention(nn.Module):
         C = self.sphere_channels
 
         if self.use_atom_edge_embedding and charges is not None:
-            # init uniform(-0.001, 0.001) per transformer_block.py:111-112
-            src = nn.Embed(
-                self.max_num_elements,
-                self.edge_channels,
-                embedding_init=_uniform(0.001),
-                dtype=x.dtype,
-                param_dtype=jnp.float32,
-                name="source_embedding",
-            )(charges)
-            tgt = nn.Embed(
-                self.max_num_elements,
-                self.edge_channels,
-                embedding_init=_uniform(0.001),
-                dtype=x.dtype,
-                param_dtype=jnp.float32,
-                name="target_embedding",
-            )(charges)
-            # layout [r, s]: source = sender (axis 2), target = receiver (axis 1)
-            x_edge = jnp.concatenate(
-                [
-                    x_edge,
-                    jnp.broadcast_to(src[:, None, :, :], (B, N, N, self.edge_channels)),
-                    jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, self.edge_channels)),
-                ],
-                axis=-1,
+            x_edge = _concat_atom_edge_embeddings(
+                x_edge, charges, self.max_num_elements, self.edge_channels,
+                x.dtype,
             )
 
         # message = concat(source, target) per edge; layout [r, s]
@@ -640,7 +654,11 @@ class EquiformerV2(nn.Module):
         D_inv = D_inv * jnp.asarray(row_scale, dtype)[:, None]
 
         # node init: charges -> l=0, velocity -> l=1
-        charges = jnp.clip(scene.mass[..., 0].astype(jnp.int32), 0, self.max_num_elements - 1)
+        # the reference feeds the dataset's charges as atomic_numbers
+        # (equiformer_v2_nbody.py:433); gravity scenes carry no charge so
+        # mass stands in there (== 1), like the cgenn/gmn wrappers
+        q = scene.charge if scene.charge is not None else scene.mass
+        charges = jnp.clip(q[..., 0].astype(jnp.int32), 0, self.max_num_elements - 1)
         # torch nn.Embedding default init is N(0, 1) (equiformer_v2_nbody.py:204)
         sphere_emb = nn.Embed(
             self.max_num_elements,
@@ -682,29 +700,9 @@ class EquiformerV2(nn.Module):
             self.use_atom_edge_embedding and not self.share_atom_edge_embedding
         )
         if self.use_atom_edge_embedding and self.share_atom_edge_embedding:
-            src = nn.Embed(
-                self.max_num_elements,
-                self.edge_channels,
-                embedding_init=_uniform(0.001),
-                dtype=dtype,
-                param_dtype=jnp.float32,
-                name="shared_source_embedding",
-            )(charges)
-            tgt = nn.Embed(
-                self.max_num_elements,
-                self.edge_channels,
-                embedding_init=_uniform(0.001),
-                dtype=dtype,
-                param_dtype=jnp.float32,
-                name="shared_target_embedding",
-            )(charges)
-            x_edge = jnp.concatenate(
-                [
-                    x_edge,
-                    jnp.broadcast_to(src[:, None, :, :], (B, N, N, self.edge_channels)),
-                    jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, self.edge_channels)),
-                ],
-                axis=-1,
+            x_edge = _concat_atom_edge_embeddings(
+                x_edge, charges, self.max_num_elements, self.edge_channels,
+                dtype, name_prefix="shared_",
             )
 
         # edge-degree embedding (input_block.py): radial -> m0 coeffs,
@@ -712,29 +710,9 @@ class EquiformerV2(nn.Module):
         # atom-edge embedding pair (input_block.py:60-73)
         x_edge_deg = x_edge
         if blocks_use_atom_edge:
-            src = nn.Embed(
-                self.max_num_elements,
-                self.edge_channels,
-                embedding_init=_uniform(0.001),
-                dtype=dtype,
-                param_dtype=jnp.float32,
-                name="edge_degree_source_embedding",
-            )(charges)
-            tgt = nn.Embed(
-                self.max_num_elements,
-                self.edge_channels,
-                embedding_init=_uniform(0.001),
-                dtype=dtype,
-                param_dtype=jnp.float32,
-                name="edge_degree_target_embedding",
-            )(charges)
-            x_edge_deg = jnp.concatenate(
-                [
-                    x_edge,
-                    jnp.broadcast_to(src[:, None, :, :], (B, N, N, self.edge_channels)),
-                    jnp.broadcast_to(tgt[:, :, None, :], (B, N, N, self.edge_channels)),
-                ],
-                axis=-1,
+            x_edge_deg = _concat_atom_edge_embeddings(
+                x_edge, charges, self.max_num_elements, self.edge_channels,
+                dtype, name_prefix="edge_degree_",
             )
         m0_idx, _ = SE.m_order_indices(LMAX, self.mmax)
         ed = RadialFunction(

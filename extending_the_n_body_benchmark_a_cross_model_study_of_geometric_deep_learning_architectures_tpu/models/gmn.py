@@ -81,8 +81,11 @@ class _GMNLayer(nn.Module):
         w = nn.Dense(1, use_bias=False, kernel_init=xavier_uniform_gain(0.001),
                      dtype=w.dtype, param_dtype=jnp.float32)(w)
         if self.tanh:
-            rng_scale = self.param("coords_range", nn.initializers.constant(3.0), (1,))
-            w = jnp.tanh(w) * rng_scale.astype(w.dtype)
+            # the reference *declares* coords_range (GMN.py:137) but its
+            # coord_model never applies it (GMN.py:172-178) — keep the
+            # parameter for param-count parity, leave it out of the math
+            self.param("coords_range", nn.initializers.constant(3.0), (1,))
+            w = jnp.tanh(w)
         trans = jnp.clip(w * coord_diff, -100.0, 100.0)
         f = G.masked_segment_mean(trans, mask) * self.coords_weight  # [B,N,3]
 

@@ -18,15 +18,7 @@ from flax import linen as nn
 
 from ..core import graph as G
 from ..core.scene import Scene
-from .common import MLP, get_activation
-
-
-def _xavier_uniform(key, shape, dtype=jnp.float32):
-    import jax
-
-    fan_in, fan_out = shape[0], shape[1]
-    bound = jnp.sqrt(6.0 / (fan_in + fan_out))
-    return jax.random.uniform(key, shape, dtype, -bound, bound)
+from .common import MLP, get_activation, xavier_uniform_gain
 
 
 class EquivariantLinear(nn.Module):
@@ -37,7 +29,7 @@ class EquivariantLinear(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        w = self.param("weight", _xavier_uniform, (x.shape[-1], self.features))
+        w = self.param("weight", xavier_uniform_gain(1.0), (x.shape[-1], self.features))
         return jnp.einsum("...cf,fo->...co", x, w.astype(x.dtype))
 
 

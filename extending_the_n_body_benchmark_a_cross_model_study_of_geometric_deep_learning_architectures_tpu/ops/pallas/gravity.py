@@ -8,8 +8,10 @@ per batch element (coordinates-last layout ``[B, 8, Np]`` with N padded to
 the 128-lane tile), writing only the O(N) accelerations back.
 
 Zero-mass padding columns contribute nothing, so padding is exact.  The
-kernel covers N <= 1024 in one VMEM tile (a v5e core fits ~16 MB; the
-largest buffer here is the [Np, Np] pairwise block at 4 MB for N=1024);
+kernel covers N <= 512 in one VMEM tile: at its peak (the three reduction
+sums) it holds four live ``[Np, Np]`` f32 temporaries (dx, dy, dz, w) —
+4 MB total at Np=512 vs a v5e core's ~16 MB VMEM, while Np=1024 would need
+16 MB for the temporaries alone and fail Mosaic allocation.
 ``acceleration_auto`` falls back to the XLA path otherwise.
 """
 
@@ -106,10 +108,10 @@ def pallas_acceleration(
 
 
 def acceleration_auto(pos, mass, G, softening):
-    """Pallas on TPU for batched inputs with N <= 1024, else the XLA path."""
+    """Pallas on TPU for batched inputs with N <= 512, else the XLA path."""
     use_pallas = (
         pos.ndim == 3
-        and pos.shape[1] <= 1024
+        and pos.shape[1] <= 512
         and jax.default_backend() == "tpu"
     )
     if use_pallas:

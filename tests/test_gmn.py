@@ -93,3 +93,23 @@ def test_segnn_instance_norm_option():
     p = norm.init(jax.random.PRNGKey(2), x)
     y = norm.apply(p, x)
     np.testing.assert_allclose(np.asarray(jnp.mean(y[..., :4], axis=1)), 0, atol=1e-5)
+
+
+def test_gmn_tanh_coords_range_declared_not_applied():
+    """The reference declares coords_range when tanh=True (GMN.py:137) but
+    its coord_model never multiplies by it (GMN.py:172-178): the parameter
+    must exist (param-count parity) yet have no effect on the output."""
+    scene = make_scene(5, seed=2)
+    mask = G.knn_mask(scene.pos, 4)
+    m = create_model("gmn", hidden_features=16, num_layers=2, tanh=True)
+    params = m.init(jax.random.PRNGKey(0), scene, mask)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    assert any("coords_range" in jax.tree_util.keystr(kp) for kp, _ in flat)
+    out = m.apply(params, scene, mask)
+
+    big = jax.tree_util.tree_map_with_path(
+        lambda kp, x: x * 100.0 if "coords_range" in jax.tree_util.keystr(kp) else x,
+        params,
+    )
+    out_big = m.apply(big, scene, mask)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(out_big))

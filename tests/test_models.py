@@ -201,3 +201,24 @@ def test_equiformer_option_variants(opts):
     out_r = model.apply(params, scene_r, G.knn_mask(scene_r.pos, 4))
     want = jnp.concatenate([out[..., :3] @ R.T, out[..., 3:] @ R.T], axis=-1)
     np.testing.assert_allclose(np.asarray(out_r), np.asarray(want), atol=2e-4)
+
+
+def test_equiformer_embeds_charges_when_present():
+    """EquiformerV2's atom embeddings index scene.charge when the dataset
+    provides it (the reference feeds the charges tensor as atomic_numbers,
+    equiformer_v2_nbody.py:433); mass is only the gravity-scene stand-in."""
+    kw = dict(TINY["equiformer_v2"])
+    model = create_model("equiformer_v2", **kw)
+    B, N = 2, 5
+    k = jax.random.PRNGKey(0)
+    pos = jax.random.normal(k, (B, N, 3), jnp.float32)
+    base = Scene(pos=pos, vel=pos * 0.1, force=jnp.zeros_like(pos),
+                 mass=jnp.ones((B, N, 1), jnp.float32))
+    charged = Scene(pos=base.pos, vel=base.vel, force=base.force,
+                    mass=base.mass,
+                    charge=jnp.full((B, N, 1), 3.0, jnp.float32))
+    mask = G.knn_mask(pos, N - 1)
+    params = model.init(jax.random.PRNGKey(1), base, mask)
+    out_mass = model.apply(params, base, mask)
+    out_charge = model.apply(params, charged, mask)
+    assert not np.allclose(np.asarray(out_mass), np.asarray(out_charge))
