@@ -77,6 +77,68 @@ def log(msg: str) -> None:
     print(msg, file=sys.stderr, flush=True)
 
 
+# last-good-result cache: a remote-TPU tunnel outage at bench time must not
+# leave the driver with no JSON line at all.  Every successful measurement
+# is mirrored here (with a timestamp); when the backend is unreachable the
+# cached line is re-emitted, explicitly marked stale with provenance.
+_LAST_GOOD = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)),
+    "docs", "results", "bench_last_good.json",
+)
+
+
+def emit(payload: dict) -> None:
+    """Print the one-line bench JSON and mirror it to the last-good cache.
+
+    The cache key is the metric name, so rollout/train/datagen modes don't
+    clobber each other."""
+    print(json.dumps(payload))
+    try:
+        cache = {}
+        if os.path.exists(_LAST_GOOD):
+            with open(_LAST_GOOD) as f:
+                cache = json.load(f)
+        cache[payload["metric"]] = dict(payload, measured_at=time.time())
+        cache["latest"] = payload["metric"]
+        with open(_LAST_GOOD, "w") as f:
+            json.dump(cache, f, indent=1)
+    except Exception as e:  # cache is best-effort; never fail the bench
+        log(f"bench: last-good cache write failed: {e!r}")
+
+
+def emit_stale_or_die(reason: str) -> None:
+    """Backend unreachable: re-emit the cached result for the current mode
+    (marked stale, with its original timestamp) and exit 0, or exit 1 with
+    an explicit error JSON if no cache exists."""
+    metric_prefix = {
+        "rollout": "self_feed_rollout_steps_per_sec",
+        "train": "train_steps_per_sec",
+        "datagen": "datagen_sims_per_sec",
+    }.get(MODE, "")
+    try:
+        with open(_LAST_GOOD) as f:
+            cache = json.load(f)
+        candidates = [
+            v for k, v in cache.items()
+            if k != "latest" and k.startswith(metric_prefix)
+        ]
+        entry = max(candidates, key=lambda v: v.get("measured_at", 0.0))
+    except Exception:
+        entry = None
+    if entry is not None:
+        entry = dict(entry, stale=True, stale_reason=reason)
+        print(json.dumps(entry))
+        log(f"bench: emitted STALE cached result ({reason})")
+        raise SystemExit(0)
+    print(
+        json.dumps(
+            {"metric": f"{metric_prefix or 'bench'}_unavailable", "value": 0.0,
+             "unit": "steps/s", "vs_baseline": 0.0, "error": reason}
+        )
+    )
+    raise SystemExit(1)
+
+
 def make_scene(dtype):
     pos = jax.random.normal(jax.random.PRNGKey(0), (BATCH, N_BODIES, 3), jnp.float32)
     vel = (
@@ -206,15 +268,13 @@ def main_train() -> None:
     best_name, best = max(results.items(), key=lambda kv: kv[1])
     log(f"best config: {best_name}")
     baseline = GH200_TRAIN_STEPS_PER_SEC.get(MODEL, GH200_BASELINE_STEPS_PER_SEC)
-    print(
-        json.dumps(
-            {
-                "metric": f"train_steps_per_sec_n{N_BODIES}_{MODEL}",
-                "value": round(best, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(best / baseline, 2),
-            }
-        )
+    emit(
+        {
+            "metric": f"train_steps_per_sec_n{N_BODIES}_{MODEL}",
+            "value": round(best, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(best / baseline, 2),
+        }
     )
 
 
@@ -273,15 +333,13 @@ def main_datagen() -> None:
     dt_s = time.time() - t0
     sims_per_sec = BATCH / dt_s
     log(f"device batch: {BATCH} sims in {dt_s:.3f}s -> {sims_per_sec:.1f} sims/s")
-    print(
-        json.dumps(
-            {
-                "metric": f"datagen_sims_per_sec_n{N}_t{T}",
-                "value": round(sims_per_sec, 2),
-                "unit": "sims/s",
-                "vs_baseline": round(sims_per_sec / numpy_sims_per_sec, 2),
-            }
-        )
+    emit(
+        {
+            "metric": f"datagen_sims_per_sec_n{N}_t{T}",
+            "value": round(sims_per_sec, 2),
+            "unit": "sims/s",
+            "vs_baseline": round(sims_per_sec / numpy_sims_per_sec, 2),
+        }
     )
 
 
@@ -315,15 +373,13 @@ def main() -> None:
 
     best_name, best = max(results.items(), key=lambda kv: kv[1])
     log(f"best config: {best_name}")
-    print(
-        json.dumps(
-            {
-                "metric": f"self_feed_rollout_steps_per_sec_n{N_BODIES}_{MODEL}",
-                "value": round(best, 2),
-                "unit": "steps/s",
-                "vs_baseline": round(best / GH200_BASELINE_STEPS_PER_SEC, 2),
-            }
-        )
+    emit(
+        {
+            "metric": f"self_feed_rollout_steps_per_sec_n{N_BODIES}_{MODEL}",
+            "value": round(best, 2),
+            "unit": "steps/s",
+            "vs_baseline": round(best / GH200_BASELINE_STEPS_PER_SEC, 2),
+        }
     )
 
 
@@ -389,10 +445,15 @@ def _wait_for_healthy_backend(max_wait_s: float = 1800.0) -> None:
     if wait_for_backend(max_wait_s=max_wait_s, probe_timeout_s=90.0,
                         poll_s=60.0, verbose=True):
         return
-    raise SystemExit(
+    log(
         "bench: accelerator backend unavailable after "
         f"{max_wait_s:.0f}s of probing (remote-TPU tunnel down?) — aborting "
         "instead of hanging in backend init"
+    )
+    emit_stale_or_die(
+        f"TPU backend unreachable for {max_wait_s:.0f}s at bench time "
+        "(remote tunnel outage); value is the last good on-hardware "
+        "measurement, see measured_at"
     )
 
 

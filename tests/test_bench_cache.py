@@ -1,0 +1,82 @@
+"""bench.py last-good-result cache: a tunnel outage at bench time must
+still yield the one-line JSON contract (stale-marked re-emission of the
+last on-hardware measurement, or an explicit error line)."""
+
+import json
+
+import pytest
+
+import bench
+
+
+def _payload(metric="self_feed_rollout_steps_per_sec_n100_egnn_mc", value=201.4):
+    return {
+        "metric": metric,
+        "value": value,
+        "unit": "steps/s",
+        "vs_baseline": round(value / 30.0, 2),
+    }
+
+
+def test_emit_writes_cache_and_prints_contract_line(tmp_path, monkeypatch, capsys):
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    bench.emit(_payload())
+    line = capsys.readouterr().out.strip()
+    parsed = json.loads(line)
+    assert parsed == _payload()  # stdout line is exactly the payload
+    cache = json.loads(cache_file.read_text())
+    assert cache["latest"] == parsed["metric"]
+    entry = cache[parsed["metric"]]
+    assert entry["value"] == 201.4 and "measured_at" in entry
+
+
+def test_emit_cache_keeps_other_modes(tmp_path, monkeypatch, capsys):
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    bench.emit(_payload())
+    bench.emit(_payload(metric="train_steps_per_sec_n5_egnn_mc", value=100.0))
+    capsys.readouterr()
+    cache = json.loads(cache_file.read_text())
+    assert "self_feed_rollout_steps_per_sec_n100_egnn_mc" in cache
+    assert "train_steps_per_sec_n5_egnn_mc" in cache
+    assert cache["latest"] == "train_steps_per_sec_n5_egnn_mc"
+
+
+def test_stale_emission_when_backend_down(tmp_path, monkeypatch, capsys):
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    monkeypatch.setattr(bench, "MODE", "rollout")
+    bench.emit(_payload())
+    capsys.readouterr()
+    with pytest.raises(SystemExit) as ei:
+        bench.emit_stale_or_die("tunnel down")
+    assert ei.value.code == 0
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed["stale"] is True
+    assert parsed["stale_reason"] == "tunnel down"
+    assert parsed["value"] == 201.4 and "measured_at" in parsed
+
+
+def test_stale_emission_picks_matching_mode(tmp_path, monkeypatch, capsys):
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    bench.emit(_payload())
+    bench.emit(_payload(metric="train_steps_per_sec_n5_egnn_mc", value=100.0))
+    capsys.readouterr()
+    monkeypatch.setattr(bench, "MODE", "train")
+    with pytest.raises(SystemExit) as ei:
+        bench.emit_stale_or_die("down")
+    assert ei.value.code == 0
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed["metric"].startswith("train_steps_per_sec")
+
+
+def test_error_line_when_no_cache(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "absent.json"))
+    monkeypatch.setattr(bench, "MODE", "rollout")
+    with pytest.raises(SystemExit) as ei:
+        bench.emit_stale_or_die("tunnel down")
+    assert ei.value.code == 1
+    parsed = json.loads(capsys.readouterr().out.strip())
+    assert parsed["value"] == 0.0 and parsed["error"] == "tunnel down"
