@@ -1,0 +1,142 @@
+"""Archive GT matched-10M chase artifacts from /tmp workdirs into the repo.
+
+The chase (scripts/queues/tpu_queue28.sh + tpu_queue29.sh) trains
+10M-budget Graph Transformer candidates under ``/tmp/gt_10m_*`` — scratch
+space that does not survive the machine.  This archiver copies every
+scored run's lightweight evidence (ks_summary/csv/png, draw batteries,
+config) into ``docs/results/gt_10m_chase/<workdir-name>/`` and writes a
+top-level README with the global best, in the same layout as the other
+``docs/results`` folders.  Idempotent: re-runs refresh in place.
+
+Usage::
+
+    python scripts/archive_gt10m.py          # archive + print summary
+    python scripts/archive_gt10m.py --check  # print global best only
+"""
+
+import glob
+import json
+import os
+import shutil
+import sys
+
+REF_P = 0.0069  # reference GT ~10M best (combined_pvalues_summary.csv:7)
+OUT_ROOT = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "docs", "results", "gt_10m_chase",
+)
+WORKDIR_GLOBS = ["/tmp/gt_10m_deep*", "/tmp/gt_10m_h4*"]
+
+
+def chase_runs():
+    """(workdir, latest run dir) for every chase workdir with any run."""
+    out = []
+    for pat in WORKDIR_GLOBS:
+        for wd in sorted(glob.glob(pat)):
+            runs = sorted(
+                glob.glob(os.path.join(wd, "runs", "*", "*")),
+                key=os.path.getmtime,
+            )
+            if runs:
+                out.append((wd, runs[-1]))
+    return out
+
+
+def best_of_run(run_dir):
+    """(best combined p, provenance string) across in-run scoring and all
+    draw batteries of one run dir."""
+    best, where = 0.0, ""
+    ks = os.path.join(run_dir, "ks_summary.json")
+    try:
+        with open(ks) as f:
+            for r in json.load(f)["results"]:
+                if r["combined_pvalue"] > best:
+                    best, where = r["combined_pvalue"], f"in-run ckpt {r['checkpoint']}"
+    except Exception:
+        pass
+    for f_ in glob.glob(os.path.join(run_dir, "draws*_ckpt*", "self_feed_draws.json")):
+        try:
+            with open(f_) as fh:
+                for x in json.load(fh)["draws"]:
+                    if x["combined_pvalue"] > best:
+                        best, where = (
+                            x["combined_pvalue"],
+                            os.path.basename(os.path.dirname(f_)),
+                        )
+        except Exception:
+            pass
+    return best, where
+
+
+def archive():
+    """Copy evidence files; returns (n_runs_archived, global_best, rows)."""
+    rows = []
+    n = 0
+    for wd, run in chase_runs():
+        name = os.path.basename(wd)
+        best, where = best_of_run(run)
+        rows.append({"workdir": name, "run": run, "best": best, "where": where})
+        if not os.path.exists(os.path.join(run, "ks_summary.json")):
+            continue  # unscored run: nothing judge-relevant yet
+        dst = os.path.join(OUT_ROOT, name)
+        os.makedirs(dst, exist_ok=True)
+        for fname in ("ks_summary.json", "ks_results.csv", "ks_results.png",
+                      "config.yaml", "training_args.json"):
+            src = os.path.join(run, fname)
+            if os.path.exists(src):
+                shutil.copy2(src, os.path.join(dst, fname))
+        for f_ in glob.glob(os.path.join(run, "draws*_ckpt*", "self_feed_draws.json")):
+            tag = os.path.basename(os.path.dirname(f_))  # e.g. draws_ckpt640
+            shutil.copy2(f_, os.path.join(dst, f"{tag}.json"))
+        n += 1
+    if rows:
+        gbest = max(rows, key=lambda r: r["best"])
+    else:
+        gbest = None
+    if n:
+        os.makedirs(OUT_ROOT, exist_ok=True)
+        with open(os.path.join(OUT_ROOT, "README.md"), "w") as f:
+            f.write(
+                "# GT matched-10M chase — archived evidence\n\n"
+                "10M-budget Graph Transformer candidates vs the reference's "
+                f"10M row (combined KS p {REF_P} @ ckpt 870, "
+                "`figures/combined_pvalues_summary.csv:7`).  Produced by the "
+                "probe-gated queues in `scripts/queues/`; each folder is one "
+                "candidate's latest run (in-run `ks_summary.json` on the "
+                "published six-macro basis + 12-draw self-feed batteries at "
+                "its top checkpoints).\n\n"
+                "| candidate | best combined p | from |\n|---|---|---|\n"
+            )
+            for r in sorted(rows, key=lambda r: -r["best"]):
+                f.write(f"| {r['workdir']} | {r['best']:.3g} | {r['where'] or '—'} |\n")
+            if gbest:
+                verdict = (
+                    "BEATS" if gbest["best"] >= REF_P else "does not yet beat"
+                )
+                f.write(
+                    f"\nGlobal best: **{gbest['best']:.3g}** "
+                    f"({gbest['workdir']}, {gbest['where']}) — {verdict} the "
+                    f"reference row ({REF_P}).\n"
+                )
+    return n, (gbest["best"] if gbest else 0.0), rows
+
+
+def main():
+    if "--check" in sys.argv:
+        rows = [
+            {"workdir": os.path.basename(wd), "best": best_of_run(run)[0]}
+            for wd, run in chase_runs()
+        ]
+        best = max((r["best"] for r in rows), default=0.0)
+        print(json.dumps({"global_best": best, "beats_ref": best >= REF_P,
+                          "candidates": rows}))
+        return
+    n, best, rows = archive()
+    print(
+        f"archived {n} scored run(s); global best {best:.3g} "
+        f"({'BEATS' if best >= REF_P else 'below'} reference {REF_P})"
+    )
+
+
+if __name__ == "__main__":
+    main()
