@@ -461,13 +461,16 @@ if __name__ == "__main__":
     if os.environ.get("BENCH_NO_WAIT") != "1":
         _wait_for_idle_chip()
         _wait_for_healthy_backend()
-    if MODE == "train":
-        main_train()
-    elif MODE == "datagen":
-        main_datagen()
-    elif MODE == "rollout":
-        main()
-    else:
+    if MODE not in ("train", "datagen", "rollout"):
         raise SystemExit(
             f"unknown BENCH_MODE={MODE!r} (expected rollout | train | datagen)"
         )
+    try:
+        {"train": main_train, "datagen": main_datagen, "rollout": main}[MODE]()
+    except SystemExit:
+        raise
+    except Exception as e:
+        # the tunnel can drop *between* the health probe and the measurement
+        # (compiles take 20-40 s); still honor the one-JSON-line contract
+        log(f"bench: measurement failed: {e!r}")
+        emit_stale_or_die(f"bench measurement failed mid-run: {e!r}")
