@@ -106,15 +106,30 @@ def emit(payload: dict) -> None:
         log(f"bench: last-good cache write failed: {e!r}")
 
 
-def emit_stale_or_die(reason: str) -> None:
-    """Backend unreachable: re-emit the cached result for the current mode
-    (marked stale, with its original timestamp) and exit 0, or exit 1 with
-    an explicit error JSON if no cache exists."""
-    metric_prefix = {
+def _metric_prefix() -> str:
+    return {
         "rollout": "self_feed_rollout_steps_per_sec",
         "train": "train_steps_per_sec",
         "datagen": "datagen_sims_per_sec",
     }.get(MODE, "")
+
+
+def _has_cached_result() -> bool:
+    """True if the last-good cache holds a result for the current mode."""
+    try:
+        with open(_LAST_GOOD) as f:
+            cache = json.load(f)
+        prefix = _metric_prefix()
+        return any(k != "latest" and k.startswith(prefix) for k in cache)
+    except Exception:
+        return False
+
+
+def emit_stale_or_die(reason: str) -> None:
+    """Backend unreachable: re-emit the cached result for the current mode
+    (marked stale, with its original timestamp) and exit 0, or exit 1 with
+    an explicit error JSON if no cache exists."""
+    metric_prefix = _metric_prefix()
     try:
         with open(_LAST_GOOD) as f:
             cache = json.load(f)
@@ -430,18 +445,31 @@ def _wait_for_idle_chip(max_wait_s: float = 1800.0) -> None:
         print("bench: TPU free, starting", file=sys.stderr)
 
 
-def _wait_for_healthy_backend(max_wait_s: float = 1800.0) -> None:
+def _wait_for_healthy_backend(max_wait_s: float | None = None) -> None:
     """Fail fast (with retries) if the accelerator backend is unreachable.
 
     Backend init on a dropped remote-TPU tunnel hangs ~25 min before
     raising UNAVAILABLE; without this gate the bench would burn its whole
     budget inside a hung init.  Probe in bounded subprocesses and wait up
     to ``max_wait_s`` for the tunnel to recover, then error out clearly.
+
+    The driver that consumes the one-line JSON may itself bound the bench's
+    wall clock, so how long to hold out for a live measurement depends on
+    whether a stale fallback exists: with a cached last-good result the
+    probe window is short (a long outage then costs only a stale marker),
+    without one it is long (the error line is worth avoiding).  Override
+    with BENCH_BACKEND_WAIT_S.
     """
     from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device import (
         wait_for_backend,
     )
 
+    if max_wait_s is None:
+        env = os.environ.get("BENCH_BACKEND_WAIT_S")
+        if env is not None:
+            max_wait_s = float(env)
+        else:
+            max_wait_s = 480.0 if _has_cached_result() else 1800.0
     if wait_for_backend(max_wait_s=max_wait_s, probe_timeout_s=90.0,
                         poll_s=60.0, verbose=True):
         return

@@ -72,6 +72,45 @@ def test_stale_emission_picks_matching_mode(tmp_path, monkeypatch, capsys):
     assert parsed["metric"].startswith("train_steps_per_sec")
 
 
+def test_has_cached_result_mode_aware(tmp_path, monkeypatch, capsys):
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    monkeypatch.setattr(bench, "MODE", "rollout")
+    assert not bench._has_cached_result()  # no cache file yet
+    bench.emit(_payload())
+    capsys.readouterr()
+    assert bench._has_cached_result()
+    monkeypatch.setattr(bench, "MODE", "train")
+    assert not bench._has_cached_result()  # rollout entry doesn't cover train
+
+
+def test_backend_wait_budget_shrinks_when_cache_exists(tmp_path, monkeypatch, capsys):
+    """With a stale fallback available the probe window must stay well under
+    any plausible driver timeout; without one it holds out longer."""
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    monkeypatch.setattr(bench, "MODE", "rollout")
+    monkeypatch.delenv("BENCH_BACKEND_WAIT_S", raising=False)
+    seen = {}
+
+    def fake_wait(max_wait_s, **kw):
+        seen["budget"] = max_wait_s
+        return True
+
+    import extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device as device
+
+    monkeypatch.setattr(device, "wait_for_backend", fake_wait)
+    bench._wait_for_healthy_backend()
+    assert seen["budget"] == 1800.0  # no cache: hold out for the tunnel
+    bench.emit(_payload())
+    capsys.readouterr()
+    bench._wait_for_healthy_backend()
+    assert seen["budget"] == 480.0  # cached fallback: fail over quickly
+    monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "33")
+    bench._wait_for_healthy_backend()
+    assert seen["budget"] == 33.0  # explicit override wins
+
+
 def test_error_line_when_no_cache(tmp_path, monkeypatch, capsys):
     monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "absent.json"))
     monkeypatch.setattr(bench, "MODE", "rollout")
