@@ -1,0 +1,231 @@
+"""Console entry points for the installed package.
+
+The repo-root scripts (``train.py``, ``self_feed.py``, ``validate.py``,
+``ks_test.py``) delegate here so the same mains back both ``python
+train.py ...`` in a checkout and the ``nbody-tpu-*`` console scripts of an
+installed wheel (reference analogue: the CLI entry points listed in
+SURVEY.md §1, ``train.py`` / ``self_feed.py`` / ``validate.py`` /
+``ks_test/ks_test_model_checkpoints.py`` / ``hpo/hpo.py``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import random
+
+import numpy as np
+
+_SELF_FEED_DOC = """Standalone self-feed rollout + macro evaluation — analogue of the
+reference ``self_feed.py`` / ``helper_scripts/infer_self_feed.py`` CLI.
+
+``--draws K`` runs K independent evaluation draws (fresh ground-truth
+simulations and, in train mode, fresh dropout noise per draw) and reports
+the per-draw, best and median combined KS p.  The reference's published
+best-checkpoint p-values are single stochastic draws of exactly this
+process (its rollout keeps dropout live — ``trainer.py:373`` vs ``:410``;
+see PARITY.md), so the draw distribution is the honest view of a
+checkpoint's fidelity."""
+
+_VALIDATE_DOC = """One-step validation of a trained checkpoint — analogue of the reference
+``validate.py``: loads a run, draws fresh on-the-fly batches and reports the
+mean loss + per-target percentage errors (the OTF dataset makes every batch
+a validation batch — ``trainer.py:393-401``)."""
+
+
+def set_seed(seed):
+    """Deterministic seeding (``train.py:22-32`` in the reference)."""
+    if seed is None:
+        return
+    random.seed(seed)
+    np.random.seed(seed)
+
+
+def train_main(argv=None):
+    """Training entry point — analogue of the reference ``train.py``."""
+    from .train.trainer import create_trainer_from_args
+    from .utils.config import parse_args
+
+    args, resolved = parse_args(argv)
+    set_seed(getattr(args, "seed", None))
+    trainer = create_trainer_from_args(args, resolved_config=resolved)
+    print(
+        f"Training {args.model_type} | params: {trainer.n_params:,} | "
+        f"run dir: {trainer.save_dir_path}"
+    )
+    trainer.train()
+
+
+def self_feed_main(argv=None):
+    p = argparse.ArgumentParser(description=_SELF_FEED_DOC)
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--checkpoint", default="model.ckpt")
+    p.add_argument("--n_bodies", type=int, default=None)
+    p.add_argument("--steps", type=int, default=None)
+    p.add_argument("--batch_size", type=int, default=None)
+    p.add_argument("--plot", action="store_true")
+    p.add_argument("--out", default=None, help="output dir (default: run_dir/generated_trajectories)")
+    p.add_argument("--draws", type=int, default=1, help="independent evaluation draws")
+    p.add_argument("--seed", type=int, default=0, help="base rollout rng seed")
+    p.add_argument(
+        "--train_mode",
+        choices=["auto", "on", "off"],
+        default="auto",
+        help="rollout with live dropout (auto: the run's self_feed_train_mode)",
+    )
+    p.add_argument(
+        "--matmul_precision",
+        default="auto",
+        help="jax matmul precision for the rollout trace (e.g. float32; "
+        "'auto': the run's self_feed_matmul_precision, 'default': TPU "
+        "default bf16 MXU passes)",
+    )
+    args = p.parse_args(argv)
+
+    from .metrics import artifacts
+    from .rollout import run_self_feed
+    from .train.restore import load_run
+
+    import jax
+
+    model, params, dataset, targs = load_run(
+        args.run_dir, checkpoint=args.checkpoint, n_bodies=args.n_bodies,
+        seed=args.seed,  # reproducible GT draws (dataset rng)
+    )
+    if args.steps is None:
+        # match the trainer's own checkpoint evals: a run trained with
+        # self_feed_limit_steps rolls every checkpoint out that far, and
+        # longer closed-loop rollouts drift more — defaulting to the full
+        # T would make re-rolled draws incomparable to the logged series
+        args.steps = getattr(targs, "self_feed_limit_steps", None)
+    if args.train_mode == "auto":
+        train_mode = bool(getattr(targs, "self_feed_train_mode", True))
+    else:
+        train_mode = args.train_mode == "on"
+    if args.matmul_precision == "auto":
+        # match the trainer's own checkpoint evals so re-rolled draws are
+        # comparable to the per-checkpoint series
+        matmul_precision = getattr(targs, "self_feed_matmul_precision", None)
+    elif args.matmul_precision == "default":
+        matmul_precision = None
+    else:
+        matmul_precision = args.matmul_precision
+
+    out = args.out or os.path.join(args.run_dir, "generated_trajectories")
+    draws = []
+    for i in range(max(1, args.draws)):
+        loc_gt, vel_gt, loc_pred, vel_pred, survived = run_self_feed(
+            model,
+            params,
+            dataset,
+            num_steps=args.steps,
+            batch_size=args.batch_size,
+            train_mode=train_mode,
+            rng=jax.random.PRNGKey(args.seed + i),
+            matmul_precision=matmul_precision,
+        )
+        draw_out = out if args.draws <= 1 else os.path.join(out, f"draw_{i:02d}")
+        per, combined, _, _ = artifacts.evaluate_rollout(
+            draw_out, loc_gt, vel_gt, loc_pred, vel_pred, plot=args.plot
+        )
+        draws.append(
+            {"draw": i, "steps_survived": survived, "combined_pvalue": combined,
+             "per_macro": per}
+        )
+        print(f"draw {i}: survived={survived} combined p={combined:.4g}")
+
+    import statistics
+
+    # NaN-safe selection: a degenerate draw (all-NaN macros) must not win
+    # max() via NaN-comparison quirks or poison the median
+    def _p(d):
+        v = d["combined_pvalue"]
+        return v if v == v else -1.0
+
+    best = max(draws, key=_p)
+    valid = sorted(_p(d) for d in draws if _p(d) >= 0.0)
+    median = statistics.median(valid) if valid else float("nan")
+    for k, v in best["per_macro"].items():
+        print(f"  ks p [{k}] (best draw): {v:.4g}")
+    print(f"steps survived (best draw): {best['steps_survived']}")
+    print(
+        f"combined macro p: best={best['combined_pvalue']:.4g} "
+        f"median={median:.4g} over {len(draws)} draw(s) "
+        f"(train_mode={'on' if train_mode else 'off'})"
+    )
+    if args.draws > 1:
+        with open(os.path.join(out, "self_feed_draws.json"), "w") as f:
+            json.dump(
+                {"train_mode": train_mode, "seed": args.seed, "draws": draws,
+                 "best_combined_pvalue": best["combined_pvalue"],
+                 "median_combined_pvalue": median},
+                f, indent=2,
+            )
+    print(f"artifacts written to {out}")
+
+
+def validate_main(argv=None):
+    p = argparse.ArgumentParser(description=_VALIDATE_DOC)
+    p.add_argument("--run_dir", required=True)
+    p.add_argument("--checkpoint", default="model.ckpt")
+    p.add_argument("--batches", type=int, default=10)
+    args = p.parse_args(argv)
+
+    import jax
+    import jax.numpy as jnp  # noqa: F401 (kept for parity with the script)
+
+    from .core import graph as G
+    from .train.losses import build_loss_fn, percentage_errors
+    from .train.restore import load_run
+    from .train.trainer import resolve_dtype
+
+    model, params, dataset, targs = load_run(args.run_dir, checkpoint=args.checkpoint)
+    loss_fn = build_loss_fn(targs)
+    k = getattr(targs, "num_neighbors", None) or dataset.num_nodes - 1
+    targets = targs.target.split("+")
+
+    # evaluate in the run's training dtype so valid/loss is comparable to
+    # the trainer's own logged validation (trainer casts via scene.astype)
+    dtype = resolve_dtype(getattr(targs, "precision_mode", "single"))
+
+    @jax.jit
+    def evaluate(params, scene, y):
+        mask = G.knn_mask(scene.pos, k)
+        pred = model.apply(params, scene, mask)
+        total, terms = loss_fn(pred, scene, y)
+        return total, terms, percentage_errors(pred, y, targets)
+
+    totals, all_terms, all_perc = [], {}, {}
+    for _ in range(args.batches):
+        batch = dataset.get_batch()
+        scene, y = batch[0], batch[1]
+        total, terms, perc = evaluate(
+            params, scene.astype(dtype), y.astype(dtype)
+        )
+        totals.append(float(total))
+        for key, v in terms.items():
+            all_terms.setdefault(key, []).append(float(v))
+        for key, v in perc.items():
+            all_perc.setdefault(key, []).append(float(v))
+
+    print(f"valid/loss: {sum(totals)/len(totals):.6f} over {args.batches} batches")
+    for key, vals in all_terms.items():
+        print(f"valid/{key}: {sum(vals)/len(vals):.6f}")
+    for key, vals in all_perc.items():
+        print(f"valid/{key}: {sum(vals)/len(vals):.3f}%")
+
+
+def ks_test_main(argv=None):
+    """KS-rank the checkpoints of a run — analogue of
+    ``ks_test/ks_test_model_checkpoints.py``."""
+    from .evaluation.ks_checkpoints import main
+
+    return main(argv)
+
+
+def hpo_main(argv=None):
+    """Hyperparameter optimisation — analogue of ``hpo/hpo.py``."""
+    from .hpo.hpo import main
+
+    return main(argv)

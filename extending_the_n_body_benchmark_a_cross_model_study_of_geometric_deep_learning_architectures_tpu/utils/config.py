@@ -123,9 +123,19 @@ class TrainerConfig(BaseModel):
     validation: ValidationConfig = Field(default_factory=ValidationConfig)
 
 
-DEFAULT_CONFIG_PATH = os.path.join(
+# repo-checkout config.yaml (a symlink to the packaged default) when running
+# from a source tree; the packaged default_config.yaml when installed as a
+# wheel (the reference ships its config.yaml at the repo root only)
+_REPO_ROOT_CONFIG = os.path.join(
     os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
     "config.yaml",
+)
+_PACKAGED_CONFIG = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "default_config.yaml",
+)
+DEFAULT_CONFIG_PATH = (
+    _REPO_ROOT_CONFIG if os.path.exists(_REPO_ROOT_CONFIG) else _PACKAGED_CONFIG
 )
 
 

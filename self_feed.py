@@ -7,135 +7,16 @@ Usage::
         [--checkpoint model.ckpt] [--n_bodies 100] [--steps 500] [--plot] \
         [--draws 8 --seed 0 --train_mode auto]
 
-``--draws K`` runs K independent checkpoint evaluations (fresh ground-truth
-simulations and, in train mode, fresh dropout noise per draw) and reports
-the per-draw, best and median combined KS p.  The reference's published
-best-checkpoint p-values are single stochastic draws of exactly this
-process (its rollout keeps dropout live — ``trainer.py:373`` vs ``:410``;
-see PARITY.md), so the draw distribution is the honest view of a
-checkpoint's fidelity.
+``--draws K`` runs K independent evaluation draws and reports the per-draw,
+best and median combined KS p (see ``<pkg>/cli.py`` for why the draw
+distribution is the honest view of a checkpoint's fidelity).
+
+Installed console script: ``nbody-tpu-self-feed``.
 """
 
-from __future__ import annotations
-
-import argparse
-import json
-import os
-
-
-def main(argv=None):
-    p = argparse.ArgumentParser(description=__doc__)
-    p.add_argument("--run_dir", required=True)
-    p.add_argument("--checkpoint", default="model.ckpt")
-    p.add_argument("--n_bodies", type=int, default=None)
-    p.add_argument("--steps", type=int, default=None)
-    p.add_argument("--batch_size", type=int, default=None)
-    p.add_argument("--plot", action="store_true")
-    p.add_argument("--out", default=None, help="output dir (default: run_dir/generated_trajectories)")
-    p.add_argument("--draws", type=int, default=1, help="independent evaluation draws")
-    p.add_argument("--seed", type=int, default=0, help="base rollout rng seed")
-    p.add_argument(
-        "--train_mode",
-        choices=["auto", "on", "off"],
-        default="auto",
-        help="rollout with live dropout (auto: the run's self_feed_train_mode)",
-    )
-    p.add_argument(
-        "--matmul_precision",
-        default="auto",
-        help="jax matmul precision for the rollout trace (e.g. float32; "
-        "'auto': the run's self_feed_matmul_precision, 'default': TPU "
-        "default bf16 MXU passes)",
-    )
-    args = p.parse_args(argv)
-
-    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.metrics import (
-        artifacts,
-    )
-    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.rollout import (
-        run_self_feed,
-    )
-    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.restore import (
-        load_run,
-    )
-
-    import jax
-
-    model, params, dataset, targs = load_run(
-        args.run_dir, checkpoint=args.checkpoint, n_bodies=args.n_bodies,
-        seed=args.seed,  # reproducible GT draws (dataset rng)
-    )
-    if args.steps is None:
-        # match the trainer's own checkpoint evals: a run trained with
-        # self_feed_limit_steps rolls every checkpoint out that far, and
-        # longer closed-loop rollouts drift more — defaulting to the full
-        # T would make re-rolled draws incomparable to the logged series
-        args.steps = getattr(targs, "self_feed_limit_steps", None)
-    if args.train_mode == "auto":
-        train_mode = bool(getattr(targs, "self_feed_train_mode", True))
-    else:
-        train_mode = args.train_mode == "on"
-    if args.matmul_precision == "auto":
-        # match the trainer's own checkpoint evals so re-rolled draws are
-        # comparable to the per-checkpoint series
-        matmul_precision = getattr(targs, "self_feed_matmul_precision", None)
-    elif args.matmul_precision == "default":
-        matmul_precision = None
-    else:
-        matmul_precision = args.matmul_precision
-
-    out = args.out or os.path.join(args.run_dir, "generated_trajectories")
-    draws = []
-    for i in range(max(1, args.draws)):
-        loc_gt, vel_gt, loc_pred, vel_pred, survived = run_self_feed(
-            model,
-            params,
-            dataset,
-            num_steps=args.steps,
-            batch_size=args.batch_size,
-            train_mode=train_mode,
-            rng=jax.random.PRNGKey(args.seed + i),
-            matmul_precision=matmul_precision,
-        )
-        draw_out = out if args.draws <= 1 else os.path.join(out, f"draw_{i:02d}")
-        per, combined, _, _ = artifacts.evaluate_rollout(
-            draw_out, loc_gt, vel_gt, loc_pred, vel_pred, plot=args.plot
-        )
-        draws.append(
-            {"draw": i, "steps_survived": survived, "combined_pvalue": combined,
-             "per_macro": per}
-        )
-        print(f"draw {i}: survived={survived} combined p={combined:.4g}")
-
-    import statistics
-
-    # NaN-safe selection: a degenerate draw (all-NaN macros) must not win
-    # max() via NaN-comparison quirks or poison the median
-    def _p(d):
-        v = d["combined_pvalue"]
-        return v if v == v else -1.0
-
-    best = max(draws, key=_p)
-    valid = sorted(_p(d) for d in draws if _p(d) >= 0.0)
-    median = statistics.median(valid) if valid else float("nan")
-    for k, v in best["per_macro"].items():
-        print(f"  ks p [{k}] (best draw): {v:.4g}")
-    print(f"steps survived (best draw): {best['steps_survived']}")
-    print(
-        f"combined macro p: best={best['combined_pvalue']:.4g} "
-        f"median={median:.4g} over {len(draws)} draw(s) "
-        f"(train_mode={'on' if train_mode else 'off'})"
-    )
-    if args.draws > 1:
-        with open(os.path.join(out, "self_feed_draws.json"), "w") as f:
-            json.dump(
-                {"train_mode": train_mode, "seed": args.seed, "draws": draws,
-                 "best_combined_pvalue": best["combined_pvalue"],
-                 "median_combined_pvalue": median},
-                f, indent=2,
-            )
-    print(f"artifacts written to {out}")
-
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.cli import (
+    self_feed_main as main,
+)
 
 if __name__ == "__main__":
     main()
