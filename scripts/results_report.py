@@ -1,0 +1,145 @@
+"""Regenerate the multi-model combined-p report from archived evidence.
+
+Reference analogue: ``ks_test/plot_combined_pvalues_multi_model.py`` +
+``figures/combined_pvalues_summary.csv`` — but sourced from the committed
+``docs/results/<run>/ks_summary.json`` archives (the raw run dirs live in
+/tmp and are transient), so the published figures are reproducible from
+the repo alone.
+
+Usage::
+
+    python scripts/results_report.py [--results-dir docs/results] [--no-plot]
+
+Writes ``combined_pvalues_summary.csv`` and ``combined_pvalues_multi.png``
+into the results dir.  Each row aggregates one archived run: its in-run
+best checkpoint plus the best 12-draw re-roll battery
+(``draws*.json`` — the honest view of checkpoint fidelity, see
+SCOREBOARD.md notes).
+"""
+
+from __future__ import annotations
+
+import argparse
+import csv
+import glob
+import json
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.evaluation.ks_checkpoints import (  # noqa: E402
+    _plot_multi_model,
+)
+
+FIELDS = [
+    "folder",
+    "model",
+    "num_checkpoints",
+    "best_checkpoint",
+    "best_combined_pvalue",
+    "first_checkpoint_p_ge_0.05",
+    "best_draw_pvalue",
+    "best_draw_checkpoint",
+    "best_overall_pvalue",
+]
+
+
+def _model_from_run_path(run_path: str, folder: str) -> str:
+    # archived run_path looks like .../runs/<model>/<timestamp>__name
+    parts = os.path.normpath(run_path).split(os.sep)
+    if "runs" in parts:
+        i = parts.index("runs")
+        if i + 1 < len(parts):
+            return parts[i + 1]
+    return folder.split("_")[0]
+
+
+def _best_draw(folder_path: str):
+    """Best battery best-p across draws_ckpt*.json / draws*.json archives."""
+    best, ck = float("nan"), None
+    for f in sorted(glob.glob(os.path.join(folder_path, "draws*.json"))):
+        try:
+            d = json.load(open(f))
+        except Exception:
+            continue
+        p = d.get("best_combined_pvalue")
+        if p is None and "draws" in d:
+            vals = [x.get("combined_pvalue", float("nan")) for x in d["draws"]]
+            vals = [v for v in vals if v == v]
+            p = max(vals) if vals else None
+        if p is not None and (best != best or p > best):
+            best = p
+            name = os.path.basename(f)
+            digits = "".join(c for c in name if c.isdigit())
+            ck = int(digits) if digits else None
+    return best, ck
+
+
+def collect(results_dir: str):
+    rows, series = [], {}
+    for summary_path in sorted(
+        glob.glob(os.path.join(results_dir, "*", "ks_summary.json"))
+    ):
+        folder_path = os.path.dirname(summary_path)
+        folder = os.path.basename(folder_path)
+        try:
+            s = json.load(open(summary_path))
+        except Exception:
+            continue
+        model = _model_from_run_path(s.get("run_path", ""), folder)
+        draw_p, draw_ck = _best_draw(folder_path)
+        in_run = s.get("best_combined_pvalue", float("nan"))
+        candidates = [v for v in (in_run, draw_p) if v == v]
+        rows.append(
+            {
+                "folder": folder,
+                "model": model,
+                "num_checkpoints": s.get("num_checkpoints"),
+                "best_checkpoint": s.get("best_checkpoint"),
+                "best_combined_pvalue": in_run,
+                "first_checkpoint_p_ge_0.05": s.get("first_checkpoint_p_ge_0.05"),
+                "best_draw_pvalue": draw_p if draw_p == draw_p else "",
+                "best_draw_checkpoint": draw_ck if draw_ck is not None else "",
+                "best_overall_pvalue": max(candidates) if candidates else "",
+            }
+        )
+        if s.get("results"):
+            series[f"{model} ({folder})"] = s["results"]
+    return rows, series
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument(
+        "--results-dir",
+        default=os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "docs",
+            "results",
+        ),
+    )
+    p.add_argument("--no-plot", action="store_true")
+    args = p.parse_args(argv)
+
+    rows, series = collect(args.results_dir)
+    if not rows:
+        print(f"no ks_summary.json archives under {args.results_dir}", file=sys.stderr)
+        return 1
+
+    out_csv = os.path.join(args.results_dir, "combined_pvalues_summary.csv")
+    with open(out_csv, "w", newline="") as f:
+        w = csv.DictWriter(f, fieldnames=FIELDS)
+        w.writeheader()
+        w.writerows(rows)
+    print(f"wrote {out_csv} ({len(rows)} runs)")
+
+    if not args.no_plot and series:
+        out_png = os.path.join(args.results_dir, "combined_pvalues_multi.png")
+        _plot_multi_model(series, out_png)
+        print(f"wrote {out_png}")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,59 @@
+"""scripts/results_report.py: the committed docs/results archives must
+regenerate the multi-model summary (reference analogue:
+``figures/combined_pvalues_summary.csv``)."""
+
+import csv
+import json
+import os
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+import results_report
+
+
+def test_collect_on_committed_archives():
+    rows, series = results_report.collect(os.path.join(REPO, "docs", "results"))
+    assert len(rows) >= 10  # the archived real-TPU run set
+    models = {r["model"] for r in rows}
+    # every reference-scoreboard family (+ our beyond-reference rows) present
+    assert {"ponita", "segnn", "graph_transformer", "cgenn",
+            "equiformer_v2", "egnn_mc", "painn"} <= models
+    for r in rows:
+        assert r["best_combined_pvalue"] == r["best_combined_pvalue"]  # not NaN
+    assert series  # overlay has at least one curve
+
+
+def test_main_writes_csv_and_handles_draws(tmp_path):
+    run = tmp_path / "toy_v5e"
+    run.mkdir()
+    (run / "ks_summary.json").write_text(json.dumps({
+        "run_path": "/tmp/x/runs/egnn_mc/2026-01-01_00-00-00__toy",
+        "num_checkpoints": 2,
+        "best_checkpoint": 20,
+        "best_combined_pvalue": 1e-4,
+        "first_checkpoint_p_ge_0.05": None,
+        "results": [
+            {"checkpoint": 10, "combined_pvalue": 1e-6},
+            {"checkpoint": 20, "combined_pvalue": 1e-4},
+        ],
+    }))
+    (run / "draws_ckpt20.json").write_text(json.dumps({
+        "best_combined_pvalue": 0.02,
+        "draws": [{"combined_pvalue": 0.02}, {"combined_pvalue": 1e-3}],
+    }))
+    rc = results_report.main(["--results-dir", str(tmp_path), "--no-plot"])
+    assert rc == 0
+    rows = list(csv.DictReader(open(tmp_path / "combined_pvalues_summary.csv")))
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["model"] == "egnn_mc"
+    assert float(r["best_draw_pvalue"]) == 0.02
+    assert r["best_draw_checkpoint"] == "20"
+    # draw battery beats the in-run series -> overall picks it
+    assert float(r["best_overall_pvalue"]) == 0.02
+
+
+def test_main_errors_on_empty_dir(tmp_path):
+    assert results_report.main(["--results-dir", str(tmp_path)]) == 1
