@@ -59,7 +59,46 @@ def run_usable(run_dir: Optional[str], min_checkpoints: int) -> bool:
     return os.path.isdir(ckpts) and len(os.listdir(ckpts)) >= min_checkpoints
 
 
-def _train_cmd(args) -> List[str]:
+def runs_with_checkpoints(workdir: str) -> List[str]:
+    """All run dirs under the workdir that hold at least one checkpoint,
+    oldest first (a continued run appends a fresh run dir holding only the
+    epochs it added — trainer resume semantics, reference trainer.py:95-120)."""
+    out = []
+    for r in glob.glob(os.path.join(workdir, "runs", "*", "*")):
+        ckpts = os.path.join(r, "checkpoints")
+        if os.path.isdir(ckpts) and os.listdir(ckpts):
+            out.append(r)
+    return sorted(out, key=os.path.getmtime)
+
+
+def total_epochs_reached(workdir: str) -> int:
+    """Highest checkpoint epoch across every run dir (continuations count)."""
+    best = 0
+    for r in runs_with_checkpoints(workdir):
+        for name in os.listdir(os.path.join(r, "checkpoints")):
+            try:
+                best = max(best, int(name))
+            except ValueError:
+                continue
+    return best
+
+
+def continuation_ckpt(workdir: str) -> Optional[str]:
+    """Newest partial run's ``model.ckpt`` to resume from, or None.
+
+    The trainer snapshots ``model.ckpt`` (model/optimizer/scheduler/step)
+    every save cadence *and* on crash, so a tunnel drop mid-run leaves a
+    resumable state — retraining from scratch after a 2 h outage-kill
+    wastes the chip time the chase is budgeted in.
+    """
+    for r in reversed(runs_with_checkpoints(workdir)):
+        ck = os.path.join(r, "model.ckpt")
+        if os.path.exists(ck):
+            return ck
+    return None
+
+
+def _train_cmd(args, model_path: Optional[str] = None) -> List[str]:
     cmd = [
         sys.executable, str(REPO / "train.py"),
         "--config", args.config,
@@ -67,10 +106,26 @@ def _train_cmd(args) -> List[str]:
         "--trainer.train_steps", str(args.epochs),
         "--trainer.run_name", args.run_name,
     ]
+    if model_path:
+        # resume against the ROOT config + explicit overrides, never the old
+        # run's round-tripped config.yaml (it drops config fields added
+        # after that run started — e.g. save_checkpoint_params)
+        cmd += ["--trainer.model_path", model_path]
     for ov in args.override:
         key, _, val = ov.partition("=")
         cmd += [f"--{key}", val]
     return cmd
+
+
+def _target_reached(args) -> bool:
+    """Training is done when one run dir is usable by count or the epoch
+    target is reached across continuations (checkpoints land every
+    ``--ckpt-interval`` epochs, so the last one is at the largest multiple
+    ≤ the target)."""
+    if run_usable(latest_run(args.workdir), args.min_checkpoints):
+        return True
+    final_epoch = (args.epochs // args.ckpt_interval) * args.ckpt_interval
+    return final_epoch > 0 and total_epochs_reached(args.workdir) >= final_epoch
 
 
 def ensure_run(args, runner: Runner = subprocess.run,
@@ -82,8 +137,8 @@ def ensure_run(args, runner: Runner = subprocess.run,
         )
         wait_fn = wait_for_backend
     os.makedirs(args.workdir, exist_ok=True)
-    run = latest_run(args.workdir)
-    if run_usable(run, args.min_checkpoints):
+    if _target_reached(args):
+        run = latest_run(args.workdir)
         print(f"pipeline: reusing run {run}", file=sys.stderr)
         return run
     deadline = time.time() + args.deadline_hours * 3600.0
@@ -94,19 +149,23 @@ def ensure_run(args, runner: Runner = subprocess.run,
                        poll_s=args.poll_s, verbose=True):
             break
         attempt += 1
-        print(f"pipeline: training attempt {attempt}", file=sys.stderr)
+        resume = continuation_ckpt(args.workdir)
+        print(
+            "pipeline: training attempt "
+            f"{attempt}{f' (resuming from {resume})' if resume else ''}",
+            file=sys.stderr,
+        )
         log = os.path.join(args.workdir, f"train_attempt{attempt}.log")
         with open(log, "w") as fh:
-            runner(_train_cmd(args), cwd=args.workdir, stdout=fh,
-                   stderr=subprocess.STDOUT, timeout=args.train_timeout_s)
-        run = latest_run(args.workdir)
-        if run_usable(run, args.min_checkpoints):
-            return run
-        print(f"pipeline: attempt {attempt} produced no usable run "
+            runner(_train_cmd(args, model_path=resume), cwd=args.workdir,
+                   stdout=fh, stderr=subprocess.STDOUT,
+                   timeout=args.train_timeout_s)
+        if _target_reached(args):
+            return latest_run(args.workdir)
+        print(f"pipeline: attempt {attempt} did not reach the target "
               f"(see {log}); re-probing", file=sys.stderr)
         time.sleep(min(args.poll_s, max(0.0, deadline - time.time())))
-    run = latest_run(args.workdir)
-    return run if run_usable(run, args.min_checkpoints) else None
+    return latest_run(args.workdir) if _target_reached(args) else None
 
 
 def score_run(run_dir: str, runner: Runner = subprocess.run,
@@ -137,15 +196,39 @@ def top_checkpoints(run_dir: str, k: int) -> List[str]:
     return out
 
 
-def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
-                   wait_fn: Optional[Callable[..., bool]] = None) -> None:
-    """12-draw (configurable) lottery batteries at the top-k checkpoints."""
+def aggregate_top_checkpoints(
+    run_dirs: List[str], k: int
+) -> List[tuple]:
+    """Top-k (run_dir, checkpoint) pairs by in-run combined p across ALL
+    run dirs of a workdir — a continued run's summaries compete as one
+    series (its checkpoints are split across run dirs)."""
+    ranked = []
+    for rd in run_dirs:
+        try:
+            with open(os.path.join(rd, "ks_summary.json")) as fh:
+                summary = json.load(fh)
+        except (OSError, ValueError):
+            continue
+        for rec in summary.get("results", []):
+            ck = str(rec["checkpoint"])
+            if os.path.exists(
+                os.path.join(rd, "checkpoints", ck, "model.ckpt")
+            ):
+                ranked.append((rec.get("combined_pvalue", 0.0), rd, ck))
+    ranked.sort(key=lambda t: -t[0])
+    return [(rd, ck) for _, rd, ck in ranked[:k]]
+
+
+def draw_batteries_at(targets: List[tuple], args,
+                      runner: Runner = subprocess.run,
+                      wait_fn: Optional[Callable[..., bool]] = None) -> None:
+    """Lottery batteries at explicit (run_dir, checkpoint) targets."""
     if wait_fn is None:
         from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device import (
             wait_for_backend,
         )
         wait_fn = wait_for_backend
-    for ck in top_checkpoints(run_dir, args.top_k):
+    for run_dir, ck in targets:
         out_dir = os.path.join(run_dir, f"draws_ckpt{ck}")
         if os.path.isdir(out_dir):
             continue
@@ -154,7 +237,7 @@ def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
             print("pipeline: backend never recovered; skipping draws",
                   file=sys.stderr)
             return
-        print(f"pipeline: draws at checkpoint {ck}", file=sys.stderr)
+        print(f"pipeline: draws at {run_dir} checkpoint {ck}", file=sys.stderr)
         runner([
             sys.executable, str(REPO / "self_feed.py"),
             "--run_dir", run_dir,
@@ -162,6 +245,13 @@ def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
             "--draws", str(args.draws), "--seed", str(args.draw_seed),
             "--out", out_dir,
         ], timeout=args.draw_timeout_s)
+
+
+def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
+                   wait_fn: Optional[Callable[..., bool]] = None) -> None:
+    """12-draw (configurable) lottery batteries at one run's top-k."""
+    targets = [(run_dir, ck) for ck in top_checkpoints(run_dir, args.top_k)]
+    draw_batteries_at(targets, args, runner=runner, wait_fn=wait_fn)
 
 
 def best_combined_p(workdir: str) -> Dict[str, float]:
@@ -205,6 +295,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="dot-path config override, e.g. model.num_layers=8")
     p.add_argument("--min-checkpoints", type=int, default=100,
                    help="checkpoint dirs required to call a run usable")
+    p.add_argument("--ckpt-interval", dest="ckpt_interval", type=int,
+                   default=10,
+                   help="checkpoint cadence in epochs (trainer "
+                        "test_macros_every); with continuations, training "
+                        "is also done once any checkpoint reaches the last "
+                        "multiple of this <= --epochs")
     p.add_argument("--draws", type=int, default=12)
     p.add_argument("--draw-seed", type=int, default=0)
     p.add_argument("--top-k", type=int, default=3,
@@ -225,11 +321,19 @@ def main(argv: Optional[Sequence[str]] = None,
     if run is None:
         print(json.dumps({"status": "failed", "stage": "train"}))
         return 1
-    if not score_run(run, runner=runner):
+    # a resumed run leaves its earlier epochs in ancestor run dirs — score
+    # every dir so the draw targets compete across the whole series
+    all_runs = runs_with_checkpoints(args.workdir) or [run]
+    for rd in all_runs:
+        score_run(rd, runner=runner)
+    if not os.path.exists(os.path.join(run, "ks_summary.json")):
         print(json.dumps({"status": "failed", "stage": "score", "run": run}))
         return 1
     if not args.skip_draws:
-        draw_batteries(run, args, runner=runner, wait_fn=wait_fn)
+        draw_batteries_at(
+            aggregate_top_checkpoints(all_runs, args.top_k),
+            args, runner=runner, wait_fn=wait_fn,
+        )
     result = best_combined_p(args.workdir)
     result.update({"status": "ok", "run": run})
     print(json.dumps(result))

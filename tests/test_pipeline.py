@@ -158,6 +158,114 @@ def test_main_end_to_end(tmp_path, capsys):
     assert out["best"] == pytest.approx(0.8)
 
 
+def _mk_partial(workdir, stamp, epochs, with_resume_ckpt=True, mtime=None):
+    """A run dir holding checkpoint dirs for the given epochs + model.ckpt."""
+    run = os.path.join(workdir, "runs", "graph_transformer", stamp)
+    for e in epochs:
+        ck = os.path.join(run, "checkpoints", str(e))
+        os.makedirs(ck, exist_ok=True)
+        open(os.path.join(ck, "model.ckpt"), "w").write("x")
+    if with_resume_ckpt:
+        open(os.path.join(run, "model.ckpt"), "w").write("x")
+    if mtime is not None:
+        os.utime(run, (mtime, mtime))
+    return run
+
+
+def test_total_epochs_and_continuation_ckpt(tmp_path):
+    wd = str(tmp_path)
+    assert pipeline.total_epochs_reached(wd) == 0
+    assert pipeline.continuation_ckpt(wd) is None
+    a = _mk_partial(wd, "a", [10, 20, 30], mtime=1000)
+    b = _mk_partial(wd, "b", [40, 50], mtime=2000)
+    assert pipeline.total_epochs_reached(wd) == 50
+    assert pipeline.continuation_ckpt(wd) == os.path.join(b, "model.ckpt")
+    assert pipeline.runs_with_checkpoints(wd) == [a, b]
+    # newest run without a resume snapshot falls back to the older one
+    os.remove(os.path.join(b, "model.ckpt"))
+    assert pipeline.continuation_ckpt(wd) == os.path.join(a, "model.ckpt")
+
+
+def test_ensure_run_resumes_from_partial_run(tmp_path):
+    """A tunnel-killed run must be continued via --trainer.model_path, not
+    retrained from scratch, and the epoch target counts across run dirs."""
+    wd = str(tmp_path)
+    cmds = []
+
+    def runner(cmd, **kw):
+        cmds.append(list(cmd))
+        if len(cmds) == 1:  # first attempt dies early: partial run
+            _mk_partial(wd, "a", [10, 20], mtime=1000)
+        else:  # continuation reaches the target in a NEW run dir
+            _mk_partial(wd, "b", [30, 40, 50], mtime=2000)
+
+    args = _args(wd)
+    args.epochs, args.min_checkpoints = 50, 99  # only the epoch path can finish
+    args.deadline_hours = 0.01
+    got = pipeline.ensure_run(args, runner=runner, wait_fn=lambda **k: True)
+    assert got is not None and got.endswith("b")
+    assert len(cmds) == 2
+    assert "--trainer.model_path" not in cmds[0]
+    i = cmds[1].index("--trainer.model_path")
+    assert cmds[1][i + 1] == os.path.join(wd, "runs", "graph_transformer",
+                                          "a", "model.ckpt")
+    # resume goes against the ROOT config, not the run's round-tripped one
+    assert cmds[1][cmds[1].index("--config") + 1] == args.config
+
+
+def test_target_reached_respects_ckpt_interval(tmp_path):
+    wd = str(tmp_path)
+    args = _args(wd)
+    args.epochs, args.min_checkpoints = 55, 99
+    _mk_partial(wd, "a", [10, 20, 30, 40, 50])
+    # last checkpoint lands at 50 (the largest multiple of 10 <= 55)
+    assert pipeline._target_reached(args)
+    args.epochs = 60
+    assert not pipeline._target_reached(args)
+
+
+def test_aggregate_top_checkpoints_across_run_dirs(tmp_path):
+    wd = str(tmp_path)
+    a = _mk_partial(wd, "a", [10, 20], mtime=1000)
+    b = _mk_partial(wd, "b", [30, 40], mtime=2000)
+    _mk_summary(a, {"10": 0.3, "20": 0.9})
+    _mk_summary(b, {"30": 0.5, "40": 0.1})
+    got = pipeline.aggregate_top_checkpoints([a, b], 2)
+    assert got == [(a, "20"), (b, "30")]
+
+
+def test_main_scores_every_run_dir_and_draws_across(tmp_path, capsys):
+    wd = str(tmp_path)
+    a = _mk_partial(wd, "a", [10, 20], mtime=1000)
+    b = _mk_partial(wd, "b", [30, 40, 50], mtime=2000)
+    scored, drawn = [], []
+
+    def runner(cmd, env=None, **kw):
+        cmd = list(cmd)
+        if any("ks_test.py" in c for c in cmd):
+            run = cmd[-1]
+            scored.append(run)
+            _mk_summary(run, {"20": 0.8} if run == a else {"30": 0.6})
+        elif any("self_feed.py" in c for c in cmd):
+            run = cmd[cmd.index("--run_dir") + 1]
+            out = cmd[cmd.index("--out") + 1]
+            drawn.append((run, os.path.basename(out)))
+            os.makedirs(out, exist_ok=True)
+            with open(os.path.join(out, "self_feed_draws.json"), "w") as fh:
+                json.dump({"draws": [{"combined_pvalue": 0.9}]}, fh)
+
+    rc = pipeline.main(
+        ["--workdir", wd, "--model", "graph_transformer", "--epochs", "50",
+         "--min-checkpoints", "99", "--top-k", "2"],
+        runner=runner, wait_fn=lambda **k: True)
+    assert rc == 0
+    assert sorted(scored) == sorted([a, b])  # every run dir scored
+    # draws hit the best checkpoint of EACH dir (cross-dir aggregation)
+    assert (a, "draws_ckpt20") in drawn and (b, "draws_ckpt30") in drawn
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["best"] == pytest.approx(0.9)
+
+
 def test_main_reports_train_failure(tmp_path, capsys):
     rc = pipeline.main(["--workdir", str(tmp_path), "--model", "gt",
                         "--epochs", "1", "--deadline-hours", "0.0001"],
