@@ -41,6 +41,10 @@ from pathlib import Path
 from typing import Callable, Dict, List, Optional, Sequence
 
 REPO = Path(__file__).resolve().parent.parent
+# allow `python scripts/pipeline.py` without PYTHONPATH (extend, never
+# overwrite — the image's PYTHONPATH carries the remote-TPU plugin)
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
 
 Runner = Callable[..., "subprocess.CompletedProcess"]
 
