@@ -225,7 +225,9 @@ def aggregate_top_checkpoints(
 
 def draw_batteries_at(targets: List[tuple], args,
                       runner: Runner = subprocess.run,
-                      wait_fn: Optional[Callable[..., bool]] = None) -> None:
+                      wait_fn: Optional[Callable[..., bool]] = None,
+                      seed: Optional[int] = None,
+                      prefix: str = "draws_ckpt") -> None:
     """Lottery batteries at explicit (run_dir, checkpoint) targets."""
     if wait_fn is None:
         from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.device import (
@@ -233,7 +235,7 @@ def draw_batteries_at(targets: List[tuple], args,
         )
         wait_fn = wait_for_backend
     for run_dir, ck in targets:
-        out_dir = os.path.join(run_dir, f"draws_ckpt{ck}")
+        out_dir = os.path.join(run_dir, f"{prefix}{ck}")
         if os.path.isdir(out_dir):
             continue
         if not wait_fn(max_wait_s=args.deadline_hours * 3600.0,
@@ -246,9 +248,41 @@ def draw_batteries_at(targets: List[tuple], args,
             sys.executable, str(REPO / "self_feed.py"),
             "--run_dir", run_dir,
             "--checkpoint", f"checkpoints/{ck}/model.ckpt",
-            "--draws", str(args.draws), "--seed", str(args.draw_seed),
+            "--draws", str(args.draws),
+            "--seed", str(args.draw_seed if seed is None else seed),
             "--out", out_dir,
         ], timeout=args.draw_timeout_s)
+
+
+def best_checkpoint_overall(run_dirs: List[str]) -> Optional[tuple]:
+    """(run_dir, checkpoint) with the highest combined p across in-run
+    summaries and existing draw batteries — the second-battery target."""
+    best_p, best = -1.0, None
+    for rd in run_dirs:
+        try:
+            with open(os.path.join(rd, "ks_summary.json")) as fh:
+                for rec in json.load(fh).get("results", []):
+                    ck = str(rec["checkpoint"])
+                    p = rec.get("combined_pvalue", 0.0)
+                    if p > best_p and os.path.exists(
+                        os.path.join(rd, "checkpoints", ck, "model.ckpt")
+                    ):
+                        best_p, best = p, (rd, ck)
+        except (OSError, ValueError):
+            pass
+        for f in glob.glob(os.path.join(rd, "draws_ckpt*",
+                                        "self_feed_draws.json")):
+            ck = os.path.basename(os.path.dirname(f))[len("draws_ckpt"):]
+            try:
+                with open(f) as fh:
+                    p = json.load(fh).get("best_combined_pvalue", 0.0)
+            except (OSError, ValueError):
+                continue
+            if p > best_p and os.path.exists(
+                os.path.join(rd, "checkpoints", ck, "model.ckpt")
+            ):
+                best_p, best = p, (rd, ck)
+    return best
 
 
 def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
@@ -271,7 +305,7 @@ def best_combined_p(workdir: str) -> Dict[str, float]:
                      for r in summary.get("results", [])), default=0.0))
         except (OSError, ValueError):
             pass
-        for f in glob.glob(os.path.join(run, "draws_ckpt*",
+        for f in glob.glob(os.path.join(run, "draws*_ckpt*",
                                         "self_feed_draws.json")):
             try:
                 with open(f) as fh:
@@ -307,6 +341,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "multiple of this <= --epochs")
     p.add_argument("--draws", type=int, default=12)
     p.add_argument("--draw-seed", type=int, default=0)
+    p.add_argument("--second-draw-seed", dest="second_draw_seed", type=int,
+                   default=None,
+                   help="if set, run one extra battery with this seed at "
+                        "the best checkpoint found so far (draws are cheap "
+                        "relative to training and row bests have come from "
+                        "battery re-rolls)")
     p.add_argument("--top-k", type=int, default=3,
                    help="checkpoints (by in-run p) to run draw batteries at")
     p.add_argument("--deadline-hours", type=float, default=12.0)
@@ -338,6 +378,13 @@ def main(argv: Optional[Sequence[str]] = None,
             aggregate_top_checkpoints(all_runs, args.top_k),
             args, runner=runner, wait_fn=wait_fn,
         )
+        if args.second_draw_seed is not None:
+            target = best_checkpoint_overall(all_runs)
+            if target is not None:
+                draw_batteries_at([target], args, runner=runner,
+                                  wait_fn=wait_fn,
+                                  seed=args.second_draw_seed,
+                                  prefix="draws2_ckpt")
     result = best_combined_p(args.workdir)
     result.update({"status": "ok", "run": run})
     print(json.dumps(result))

@@ -50,7 +50,7 @@ run_candidate() {  # $1=wd $2=L $3=H $4=heads $5=name $6=epochs $7=seed(''=defau
   python /root/repo/scripts/pipeline.py --workdir "$wd" \
     --model graph_transformer --epochs "$EPOCHS" --run-name "$NAME" \
     --min-checkpoints 60 --ckpt-interval 10 \
-    --draws 12 --draw-seed 281 --top-k 3 \
+    --draws 12 --draw-seed 281 --second-draw-seed 9272 --top-k 3 \
     --deadline-hours "$hours" --poll-s 300 \
     -o "model.num_layers=$L" -o "model.hidden_features=$H" \
     -o "model.num_heads=$HD" "${extra[@]}" \

@@ -266,6 +266,40 @@ def test_main_scores_every_run_dir_and_draws_across(tmp_path, capsys):
     assert out["best"] == pytest.approx(0.9)
 
 
+def test_second_battery_targets_global_best(tmp_path, capsys):
+    wd = str(tmp_path)
+    a = _mk_partial(wd, "a", [10, 20], mtime=1000)
+    drawn = []
+
+    def runner(cmd, env=None, **kw):
+        cmd = list(cmd)
+        if any("ks_test.py" in c for c in cmd):
+            _mk_summary(a, {"10": 0.2, "20": 0.6})
+        elif any("self_feed.py" in c for c in cmd):
+            out = cmd[cmd.index("--out") + 1]
+            seed = cmd[cmd.index("--seed") + 1]
+            drawn.append((os.path.basename(out), seed))
+            os.makedirs(out, exist_ok=True)
+            # the ckpt-10 battery out-draws the in-run best at ckpt 20
+            p = 0.95 if out.endswith("draws_ckpt10") else 0.3
+            with open(os.path.join(out, "self_feed_draws.json"), "w") as fh:
+                json.dump({"best_combined_pvalue": p,
+                           "draws": [{"combined_pvalue": p}]}, fh)
+
+    rc = pipeline.main(
+        ["--workdir", wd, "--model", "graph_transformer", "--epochs", "20",
+         "--min-checkpoints", "99", "--top-k", "2",
+         "--draw-seed", "281", "--second-draw-seed", "9272"],
+        runner=runner, wait_fn=lambda **k: True)
+    assert rc == 0
+    # first batteries at both checkpoints with the base seed, then the
+    # second battery lands on ckpt 10 (its battery beat ckpt 20's in-run p)
+    assert ("draws_ckpt20", "281") in drawn and ("draws_ckpt10", "281") in drawn
+    assert drawn[-1] == ("draws2_ckpt10", "9272")
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["best"] == pytest.approx(0.95)
+
+
 def test_main_reports_train_failure(tmp_path, capsys):
     rc = pipeline.main(["--workdir", str(tmp_path), "--model", "gt",
                         "--epochs", "1", "--deadline-hours", "0.0001"],
