@@ -466,9 +466,12 @@ def _wait_for_healthy_backend(max_wait_s: float | None = None) -> None:
 
     if max_wait_s is None:
         env = os.environ.get("BENCH_BACKEND_WAIT_S")
-        if env is not None:
-            max_wait_s = float(env)
-        else:
+        try:
+            max_wait_s = float(env) if env else None
+        except ValueError:
+            log(f"bench: ignoring malformed BENCH_BACKEND_WAIT_S={env!r}")
+            max_wait_s = None
+        if max_wait_s is None:
             max_wait_s = 480.0 if _has_cached_result() else 1800.0
     if wait_for_backend(max_wait_s=max_wait_s, probe_timeout_s=90.0,
                         poll_s=60.0, verbose=True):

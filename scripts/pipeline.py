@@ -93,9 +93,16 @@ def continuation_ckpt(workdir: str) -> Optional[str]:
     The trainer snapshots ``model.ckpt`` (model/optimizer/scheduler/step)
     every save cadence *and* on crash, so a tunnel drop mid-run leaves a
     resumable state — retraining from scratch after a 2 h outage-kill
-    wastes the chip time the chase is budgeted in.
+    wastes the chip time the chase is budgeted in.  A run killed before
+    its first checkpoint dir still counts: the crash snapshot alone is
+    resumable.
     """
-    for r in reversed(runs_with_checkpoints(workdir)):
+    runs = sorted(
+        (r for r in glob.glob(os.path.join(workdir, "runs", "*", "*"))
+         if os.path.isdir(r)),
+        key=os.path.getmtime,
+    )
+    for r in reversed(runs):
         ck = os.path.join(r, "model.ckpt")
         if os.path.exists(ck):
             return ck
@@ -110,26 +117,42 @@ def _train_cmd(args, model_path: Optional[str] = None) -> List[str]:
         "--trainer.train_steps", str(args.epochs),
         "--trainer.run_name", args.run_name,
     ]
+    overrides = {}
+    for ov in args.override:
+        key, _, val = ov.partition("=")
+        overrides[key] = val
     if model_path:
         # resume against the ROOT config + explicit overrides, never the old
         # run's round-tripped config.yaml (it drops config fields added
         # after that run started — e.g. save_checkpoint_params)
         cmd += ["--trainer.model_path", model_path]
-    for ov in args.override:
-        key, _, val = ov.partition("=")
+        # an explicitly-seeded dataset would REPLAY its stream from epoch 0
+        # on resume (the checkpoint restores params/opt/step, not the data
+        # rng) — bump the seed by the epochs already consumed so the
+        # continuation trains on fresh draws from the same distribution.
+        # Unseeded runs are already fine (seed=None pulls OS entropy).
+        if "dataloader.seed" in overrides:
+            base = int(overrides["dataloader.seed"])
+            bumped = base + total_epochs_reached(args.workdir)
+            overrides["dataloader.seed"] = str(bumped)
+            print(f"pipeline: resume bumps dataloader.seed {base} -> {bumped}",
+                  file=sys.stderr)
+    for key, val in overrides.items():
         cmd += [f"--{key}", val]
     return cmd
 
 
 def _target_reached(args) -> bool:
-    """Training is done when one run dir is usable by count or the epoch
-    target is reached across continuations (checkpoints land every
-    ``--ckpt-interval`` epochs, so the last one is at the largest multiple
-    ≤ the target)."""
-    if run_usable(latest_run(args.workdir), args.min_checkpoints):
-        return True
+    """Training is done once the epoch target is reached across
+    continuation run dirs (checkpoints land every ``--ckpt-interval``
+    epochs, so the last one is at the largest multiple ≤ the target).
+    ``--min-checkpoints`` is only the fallback criterion when the epoch
+    path is unavailable (target smaller than one checkpoint interval) —
+    it must not short-circuit a partially-trained run as done."""
     final_epoch = (args.epochs // args.ckpt_interval) * args.ckpt_interval
-    return final_epoch > 0 and total_epochs_reached(args.workdir) >= final_epoch
+    if final_epoch > 0:
+        return total_epochs_reached(args.workdir) >= final_epoch
+    return run_usable(latest_run(args.workdir), args.min_checkpoints)
 
 
 def ensure_run(args, runner: Runner = subprocess.run,
@@ -146,7 +169,7 @@ def ensure_run(args, runner: Runner = subprocess.run,
         print(f"pipeline: reusing run {run}", file=sys.stderr)
         return run
     deadline = time.time() + args.deadline_hours * 3600.0
-    attempt = 0
+    attempt, stalls = 0, 0
     while time.time() < deadline:
         remaining = deadline - time.time()
         if not wait_fn(max_wait_s=remaining, probe_timeout_s=90.0,
@@ -154,6 +177,7 @@ def ensure_run(args, runner: Runner = subprocess.run,
             break
         attempt += 1
         resume = continuation_ckpt(args.workdir)
+        before = total_epochs_reached(args.workdir)
         print(
             "pipeline: training attempt "
             f"{attempt}{f' (resuming from {resume})' if resume else ''}",
@@ -161,15 +185,40 @@ def ensure_run(args, runner: Runner = subprocess.run,
         )
         log = os.path.join(args.workdir, f"train_attempt{attempt}.log")
         with open(log, "w") as fh:
-            runner(_train_cmd(args, model_path=resume), cwd=args.workdir,
-                   stdout=fh, stderr=subprocess.STDOUT,
-                   timeout=args.train_timeout_s)
+            try:
+                runner(_train_cmd(args, model_path=resume), cwd=args.workdir,
+                       stdout=fh, stderr=subprocess.STDOUT,
+                       timeout=args.train_timeout_s)
+            except subprocess.TimeoutExpired:
+                # a wedged/overrunning attempt is not fatal: its checkpoints
+                # are on disk and the next attempt resumes from them
+                print(f"pipeline: attempt {attempt} hit --train-timeout-s "
+                      f"({args.train_timeout_s:.0f}s); will resume",
+                      file=sys.stderr)
         if _target_reached(args):
             return latest_run(args.workdir)
+        # two consecutive attempts with zero epoch progress: stop retrying
+        # (e.g. a completed run whose final checkpoint cadence never lands
+        # exactly on the target) instead of spinning until the deadline
+        stalls = stalls + 1 if total_epochs_reached(args.workdir) <= before else 0
+        if stalls >= 2:
+            print("pipeline: no epoch progress over two attempts; "
+                  "giving up on training", file=sys.stderr)
+            break
         print(f"pipeline: attempt {attempt} did not reach the target "
               f"(see {log}); re-probing", file=sys.stderr)
         time.sleep(min(args.poll_s, max(0.0, deadline - time.time())))
-    return latest_run(args.workdir) if _target_reached(args) else None
+    if _target_reached(args):
+        return latest_run(args.workdir)
+    # close-enough acceptance: within one checkpoint interval of the target
+    # (scored + drawn beats discarding ~99% of a training run)
+    final_epoch = (args.epochs // args.ckpt_interval) * args.ckpt_interval
+    total = total_epochs_reached(args.workdir)
+    if final_epoch > 0 and total >= final_epoch - args.ckpt_interval and total > 0:
+        print(f"pipeline: accepting near-complete run at epoch {total} "
+              f"(target {final_epoch})", file=sys.stderr)
+        return latest_run(args.workdir)
+    return None
 
 
 def score_run(run_dir: str, runner: Runner = subprocess.run,
@@ -179,25 +228,12 @@ def score_run(run_dir: str, runner: Runner = subprocess.run,
     if os.path.exists(summary):
         return True
     env = dict(os.environ, PALLAS_AXON_POOL_IPS="", JAX_PLATFORMS="cpu")
-    runner([sys.executable, str(REPO / "ks_test.py"), run_dir],
-           env=env, timeout=timeout_s)
-    return os.path.exists(summary)
-
-
-def top_checkpoints(run_dir: str, k: int) -> List[str]:
     try:
-        with open(os.path.join(run_dir, "ks_summary.json")) as fh:
-            summary = json.load(fh)
-    except (OSError, ValueError):
-        return []
-    ranked = sorted(summary.get("results", []),
-                    key=lambda r: -r.get("combined_pvalue", 0.0))
-    out = []
-    for rec in ranked[:k]:
-        ck = str(rec["checkpoint"])
-        if os.path.exists(os.path.join(run_dir, "checkpoints", ck, "model.ckpt")):
-            out.append(ck)
-    return out
+        runner([sys.executable, str(REPO / "ks_test.py"), run_dir],
+               env=env, timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print(f"pipeline: scoring {run_dir} timed out", file=sys.stderr)
+    return os.path.exists(summary)
 
 
 def aggregate_top_checkpoints(
@@ -244,14 +280,18 @@ def draw_batteries_at(targets: List[tuple], args,
                   file=sys.stderr)
             return
         print(f"pipeline: draws at {run_dir} checkpoint {ck}", file=sys.stderr)
-        runner([
-            sys.executable, str(REPO / "self_feed.py"),
-            "--run_dir", run_dir,
-            "--checkpoint", f"checkpoints/{ck}/model.ckpt",
-            "--draws", str(args.draws),
-            "--seed", str(args.draw_seed if seed is None else seed),
-            "--out", out_dir,
-        ], timeout=args.draw_timeout_s)
+        try:
+            runner([
+                sys.executable, str(REPO / "self_feed.py"),
+                "--run_dir", run_dir,
+                "--checkpoint", f"checkpoints/{ck}/model.ckpt",
+                "--draws", str(args.draws),
+                "--seed", str(args.draw_seed if seed is None else seed),
+                "--out", out_dir,
+            ], timeout=args.draw_timeout_s)
+        except subprocess.TimeoutExpired:
+            print(f"pipeline: battery at {run_dir} ckpt {ck} timed out; "
+                  "continuing", file=sys.stderr)
 
 
 def best_checkpoint_overall(run_dirs: List[str]) -> Optional[tuple]:
@@ -283,13 +323,6 @@ def best_checkpoint_overall(run_dirs: List[str]) -> Optional[tuple]:
             ):
                 best_p, best = p, (rd, ck)
     return best
-
-
-def draw_batteries(run_dir: str, args, runner: Runner = subprocess.run,
-                   wait_fn: Optional[Callable[..., bool]] = None) -> None:
-    """12-draw (configurable) lottery batteries at one run's top-k."""
-    targets = [(run_dir, ck) for ck in top_checkpoints(run_dir, args.top_k)]
-    draw_batteries_at(targets, args, runner=runner, wait_fn=wait_fn)
 
 
 def best_combined_p(workdir: str) -> Dict[str, float]:

@@ -24,6 +24,7 @@ import csv
 import glob
 import json
 import os
+import re
 import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -70,19 +71,23 @@ def _best_draw(folder_path: str):
             p = max(vals) if vals else None
         if p is not None and (best != best or p > best):
             best = p
-            name = os.path.basename(f)
-            digits = "".join(c for c in name if c.isdigit())
-            ck = int(digits) if digits else None
+            # the checkpoint id is what follows 'ckpt' (draws_ckpt870.json,
+            # draws2_ckpt870.json — naive all-digits would read 2870)
+            m = re.search(r"ckpt(\d+)", os.path.basename(f))
+            ck = int(m.group(1)) if m else None
     return best, ck
 
 
 def collect(results_dir: str):
     rows, series = [], {}
+    # one level for the standard <run>_v5e archives, two for grouped
+    # archives like gt_10m_chase/<workdir-name>/
     for summary_path in sorted(
         glob.glob(os.path.join(results_dir, "*", "ks_summary.json"))
+        + glob.glob(os.path.join(results_dir, "*", "*", "ks_summary.json"))
     ):
         folder_path = os.path.dirname(summary_path)
-        folder = os.path.basename(folder_path)
+        folder = os.path.relpath(folder_path, results_dir)
         try:
             s = json.load(open(summary_path))
         except Exception:

@@ -109,6 +109,14 @@ def test_backend_wait_budget_shrinks_when_cache_exists(tmp_path, monkeypatch, ca
     monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "33")
     bench._wait_for_healthy_backend()
     assert seen["budget"] == 33.0  # explicit override wins
+    # malformed / empty override falls back to the cache-aware default
+    # instead of crashing before any JSON line is printed
+    monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "8m")
+    bench._wait_for_healthy_backend()
+    assert seen["budget"] == 480.0
+    monkeypatch.setenv("BENCH_BACKEND_WAIT_S", "")
+    bench._wait_for_healthy_backend()
+    assert seen["budget"] == 480.0
 
 
 def test_error_line_when_no_cache(tmp_path, monkeypatch, capsys):

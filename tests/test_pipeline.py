@@ -98,12 +98,13 @@ def test_score_run_idempotent(tmp_path):
     assert pipeline.score_run(run, runner=scorer)
 
 
-def test_top_checkpoints_ranked_and_filtered(tmp_path):
+def test_aggregate_top_checkpoints_ranked_and_filtered(tmp_path):
     wd = str(tmp_path)
     run = _mk_run(wd, n_ckpts=3)  # checkpoints 10, 20, 30
     _mk_summary(run, {"10": 0.1, "20": 0.9, "30": 0.5, "40": 1.0})  # 40 has no ckpt
-    assert pipeline.top_checkpoints(run, 2) == ["20"]  # 40 filtered, then top-2 → 20, 30... k=2
-    assert pipeline.top_checkpoints(run, 3) == ["20", "30"]
+    assert pipeline.aggregate_top_checkpoints([run], 2) == [(run, "20"), (run, "30")]
+    assert pipeline.aggregate_top_checkpoints([run], 9) == [
+        (run, "20"), (run, "30"), (run, "10")]
 
 
 def test_draw_batteries_skip_existing(tmp_path):
@@ -113,8 +114,10 @@ def test_draw_batteries_skip_existing(tmp_path):
     os.makedirs(os.path.join(run, "draws_ckpt10"))
     launched = []
     args = _args(wd, top_k=2, draws=4)
-    pipeline.draw_batteries(run, args, runner=lambda cmd, **k: launched.append(cmd),
-                            wait_fn=lambda **k: True)
+    pipeline.draw_batteries_at(
+        pipeline.aggregate_top_checkpoints([run], args.top_k), args,
+        runner=lambda cmd, **k: launched.append(cmd),
+        wait_fn=lambda **k: True)
     assert len(launched) == 1 and "checkpoints/20/model.ckpt" in launched[0]
 
 
@@ -264,6 +267,80 @@ def test_main_scores_every_run_dir_and_draws_across(tmp_path, capsys):
     assert (a, "draws_ckpt20") in drawn and (b, "draws_ckpt30") in drawn
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["best"] == pytest.approx(0.9)
+
+
+def test_partial_run_not_declared_done_by_count(tmp_path):
+    """62 checkpoint dirs of a 900-epoch run must NOT satisfy the target
+    even when they exceed --min-checkpoints (late-outage resume case)."""
+    wd = str(tmp_path)
+    _mk_partial(wd, "a", list(range(10, 621, 10)))  # epochs 10..620
+    args = _args(wd)
+    args.epochs, args.min_checkpoints = 900, 60
+    assert not pipeline._target_reached(args)
+    args.epochs = 620
+    assert pipeline._target_reached(args)
+
+
+def test_train_timeout_retries_with_resume(tmp_path):
+    """--train-timeout-s expiry is a resumable event, not a crash."""
+    import subprocess as sp
+    wd = str(tmp_path)
+    cmds = []
+
+    def runner(cmd, **kw):
+        cmds.append(list(cmd))
+        if len(cmds) == 1:
+            _mk_partial(wd, "a", [10, 20], mtime=1000)
+            raise sp.TimeoutExpired(cmd, kw.get("timeout", 0))
+        _mk_partial(wd, "b", [30, 40, 50], mtime=2000)
+
+    args = _args(wd)
+    args.epochs, args.min_checkpoints, args.deadline_hours = 50, 99, 0.01
+    got = pipeline.ensure_run(args, runner=runner, wait_fn=lambda **k: True)
+    assert got is not None and got.endswith("b")
+    assert "--trainer.model_path" in cmds[1]
+
+
+def test_no_progress_attempts_stop_and_accept_near_complete(tmp_path):
+    """A run stuck one interval short of the target stops retrying after
+    two no-progress attempts and is accepted as near-complete."""
+    wd = str(tmp_path)
+    _mk_partial(wd, "a", list(range(10, 891, 10)))  # epochs 10..890 of 900
+    attempts = []
+    args = _args(wd)
+    args.epochs, args.min_checkpoints, args.deadline_hours = 900, 60, 0.05
+    args.poll_s = 0.01
+    got = pipeline.ensure_run(args, runner=lambda c, **k: attempts.append(c),
+                              wait_fn=lambda **k: True)
+    assert len(attempts) == 2  # stopped by the stall guard, not the deadline
+    assert got is not None  # 890 >= 900 - ckpt_interval -> accepted
+
+
+def test_resume_bumps_explicit_dataloader_seed(tmp_path):
+    """A seeded continuation must not replay the epochs it already ate."""
+    wd = str(tmp_path)
+    _mk_partial(wd, "a", [10, 20, 30])  # 30 epochs consumed
+    args = _args(wd)
+    args.override = ["trainer.seed=7", "dataloader.seed=7"]
+    cmd = pipeline._train_cmd(args, model_path=os.path.join(wd, "x.ckpt"))
+    assert cmd[cmd.index("--dataloader.seed") + 1] == "37"  # 7 + 30
+    assert cmd[cmd.index("--trainer.seed") + 1] == "7"  # untouched
+    # fresh starts keep the seed verbatim
+    cmd = pipeline._train_cmd(args, model_path=None)
+    assert cmd[cmd.index("--dataloader.seed") + 1] == "7"
+
+
+def test_continuation_ckpt_covers_checkpointless_crash(tmp_path):
+    """A run killed before its first checkpoint dir still resumes from its
+    crash snapshot."""
+    wd = str(tmp_path)
+    a = _mk_partial(wd, "a", [10], mtime=1000)
+    b = os.path.join(wd, "runs", "graph_transformer", "b")
+    os.makedirs(b)
+    open(os.path.join(b, "model.ckpt"), "w").write("x")
+    os.utime(b, (2000, 2000))
+    assert pipeline.continuation_ckpt(wd) == os.path.join(b, "model.ckpt")
+    assert pipeline.runs_with_checkpoints(wd) == [a]  # b has no checkpoints
 
 
 def test_second_battery_targets_global_best(tmp_path, capsys):

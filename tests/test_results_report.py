@@ -39,7 +39,9 @@ def test_main_writes_csv_and_handles_draws(tmp_path):
             {"checkpoint": 20, "combined_pvalue": 1e-4},
         ],
     }))
-    (run / "draws_ckpt20.json").write_text(json.dumps({
+    # a second-battery archive must not corrupt the checkpoint id (naive
+    # all-digits parsing would read draws2_ckpt20 as checkpoint 220)
+    (run / "draws2_ckpt20.json").write_text(json.dumps({
         "best_combined_pvalue": 0.02,
         "draws": [{"combined_pvalue": 0.02}, {"combined_pvalue": 1e-3}],
     }))
@@ -53,6 +55,24 @@ def test_main_writes_csv_and_handles_draws(tmp_path):
     assert r["best_draw_checkpoint"] == "20"
     # draw battery beats the in-run series -> overall picks it
     assert float(r["best_overall_pvalue"]) == 0.02
+
+
+def test_collect_includes_nested_chase_archives(tmp_path):
+    """gt_10m_chase/<workdir>/ks_summary.json (two levels deep) must appear
+    in the 'every archived run' report."""
+    nested = tmp_path / "gt_10m_chase" / "gt_10m_deep"
+    nested.mkdir(parents=True)
+    (nested / "ks_summary.json").write_text(json.dumps({
+        "run_path": "/tmp/gt_10m_deep/runs/graph_transformer/x__gt10m_deep",
+        "num_checkpoints": 1,
+        "best_checkpoint": 10,
+        "best_combined_pvalue": 5e-3,
+        "results": [{"checkpoint": 10, "combined_pvalue": 5e-3}],
+    }))
+    rows, series = results_report.collect(str(tmp_path))
+    assert len(rows) == 1
+    assert rows[0]["folder"] == os.path.join("gt_10m_chase", "gt_10m_deep")
+    assert rows[0]["model"] == "graph_transformer"
 
 
 def test_main_errors_on_empty_dir(tmp_path):
