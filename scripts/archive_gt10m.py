@@ -25,7 +25,16 @@ OUT_ROOT = os.path.join(
     os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
     "docs", "results", "gt_10m_chase",
 )
-WORKDIR_GLOBS = ["/tmp/gt_10m_deep*", "/tmp/gt_10m_h4*"]
+_REPO_ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+# /tmp did not survive the 2026-08-19 machine hand-off (queues + partial
+# runs lost), so queue33+ keeps chase workdirs under the repo's gitignored
+# runs/ instead; both locations stay scanned for continuity.
+WORKDIR_GLOBS = [
+    "/tmp/gt_10m_deep*",
+    "/tmp/gt_10m_h4*",
+    os.path.join(_REPO_ROOT, "runs", "gt10m", "gt_10m_deep*"),
+    os.path.join(_REPO_ROOT, "runs", "gt10m", "gt_10m_h4*"),
+]
 
 
 def chase_runs():
