@@ -38,16 +38,21 @@ WORKDIR_GLOBS = [
 
 
 def chase_runs():
-    """(workdir, latest run dir) for every chase workdir with any run."""
+    """(workdir, [run dirs, oldest first]) for every chase workdir with any
+    run.  ALL run dirs matter, not just the newest: a resumed candidate
+    (pipeline.py continuation_ckpt) appends a fresh run dir holding only the
+    epochs it added, so scored summaries and draw batteries are split across
+    the whole series — the best evidence can live in an ancestor."""
     out = []
     for pat in WORKDIR_GLOBS:
         for wd in sorted(glob.glob(pat)):
             runs = sorted(
-                glob.glob(os.path.join(wd, "runs", "*", "*")),
+                (r for r in glob.glob(os.path.join(wd, "runs", "*", "*"))
+                 if os.path.isdir(r)),
                 key=os.path.getmtime,
             )
             if runs:
-                out.append((wd, runs[-1]))
+                out.append((wd, runs))
     return out
 
 
@@ -77,27 +82,48 @@ def best_of_run(run_dir):
     return best, where
 
 
+def best_of_workdir(runs):
+    """(best combined p, provenance) across every run dir of a candidate;
+    provenance carries the run-dir basename so continuation evidence stays
+    attributable."""
+    best, where = 0.0, ""
+    for run in runs:
+        b, w = best_of_run(run)
+        if b > best:
+            best, where = b, f"{os.path.basename(run)}: {w}"
+    return best, where
+
+
 def archive():
-    """Copy evidence files; returns (n_runs_archived, global_best, rows)."""
+    """Copy evidence files; returns (n_runs_archived, global_best, rows).
+
+    Each scored run dir archives into its own stamped folder
+    ``<workdir>@<run-basename>/`` so a continued candidate's runs never mix
+    draws (two levels deep — still visible to results_report.py's
+    ``*/*/ks_summary.json`` glob)."""
     rows = []
     n = 0
-    for wd, run in chase_runs():
+    for wd, runs in chase_runs():
         name = os.path.basename(wd)
-        best, where = best_of_run(run)
-        rows.append({"workdir": name, "run": run, "best": best, "where": where})
-        if not os.path.exists(os.path.join(run, "ks_summary.json")):
-            continue  # unscored run: nothing judge-relevant yet
-        dst = os.path.join(OUT_ROOT, name)
-        os.makedirs(dst, exist_ok=True)
-        for fname in ("ks_summary.json", "ks_results.csv", "ks_results.png",
-                      "config.yaml", "training_args.json"):
-            src = os.path.join(run, fname)
-            if os.path.exists(src):
-                shutil.copy2(src, os.path.join(dst, fname))
-        for f_ in glob.glob(os.path.join(run, "draws*_ckpt*", "self_feed_draws.json")):
-            tag = os.path.basename(os.path.dirname(f_))  # e.g. draws_ckpt640
-            shutil.copy2(f_, os.path.join(dst, f"{tag}.json"))
-        n += 1
+        best, where = best_of_workdir(runs)
+        rows.append({"workdir": name, "runs": runs, "best": best,
+                     "where": where})
+        for run in runs:
+            if not os.path.exists(os.path.join(run, "ks_summary.json")):
+                continue  # unscored run: nothing judge-relevant yet
+            dst = os.path.join(OUT_ROOT, f"{name}@{os.path.basename(run)}")
+            os.makedirs(dst, exist_ok=True)
+            for fname in ("ks_summary.json", "ks_results.csv",
+                          "ks_results.png", "config.yaml",
+                          "training_args.json"):
+                src = os.path.join(run, fname)
+                if os.path.exists(src):
+                    shutil.copy2(src, os.path.join(dst, fname))
+            for f_ in glob.glob(os.path.join(run, "draws*_ckpt*",
+                                             "self_feed_draws.json")):
+                tag = os.path.basename(os.path.dirname(f_))  # draws_ckpt640
+                shutil.copy2(f_, os.path.join(dst, f"{tag}.json"))
+            n += 1
     if rows:
         gbest = max(rows, key=lambda r: r["best"])
     else:
@@ -111,9 +137,10 @@ def archive():
                 f"10M row (combined KS p {REF_P} @ ckpt 870, "
                 "`figures/combined_pvalues_summary.csv:7`).  Produced by the "
                 "probe-gated queues in `scripts/queues/`; each folder is one "
-                "candidate's latest run (in-run `ks_summary.json` on the "
-                "published six-macro basis + 12-draw self-feed batteries at "
-                "its top checkpoints).\n\n"
+                "scored run dir of a candidate (`<candidate>@<run-stamp>` — "
+                "continued candidates have several), holding the in-run "
+                "`ks_summary.json` on the published six-macro basis + "
+                "12-draw self-feed batteries at its top checkpoints.\n\n"
                 "| candidate | best combined p | from |\n|---|---|---|\n"
             )
             for r in sorted(rows, key=lambda r: -r["best"]):
@@ -133,8 +160,8 @@ def archive():
 def main():
     if "--check" in sys.argv:
         rows = [
-            {"workdir": os.path.basename(wd), "best": best_of_run(run)[0]}
-            for wd, run in chase_runs()
+            {"workdir": os.path.basename(wd), "best": best_of_workdir(runs)[0]}
+            for wd, runs in chase_runs()
         ]
         best = max((r["best"] for r in rows), default=0.0)
         print(json.dumps({"global_best": best, "beats_ref": best >= REF_P,
