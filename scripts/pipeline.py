@@ -272,7 +272,10 @@ def draw_batteries_at(targets: List[tuple], args,
         wait_fn = wait_for_backend
     for run_dir, ck in targets:
         out_dir = os.path.join(run_dir, f"{prefix}{ck}")
-        if os.path.isdir(out_dir):
+        # "done" = the end-of-battery summary exists; a battery killed
+        # mid-draws (timeout/outage) leaves only draw_NN/ subdirs and must
+        # re-run, not be skipped forever (self_feed.py overwrites in place)
+        if os.path.exists(os.path.join(out_dir, "self_feed_draws.json")):
             continue
         if not wait_fn(max_wait_s=args.deadline_hours * 3600.0,
                        probe_timeout_s=90.0, poll_s=args.poll_s, verbose=True):

@@ -108,17 +108,28 @@ def test_aggregate_top_checkpoints_ranked_and_filtered(tmp_path):
 
 
 def test_draw_batteries_skip_existing(tmp_path):
+    """Completed batteries (summary file present) are skipped; a PARTIAL
+    battery dir (killed mid-draws, no self_feed_draws.json) re-runs."""
     wd = str(tmp_path)
-    run = _mk_run(wd, n_ckpts=2)
-    _mk_summary(run, {"10": 0.9, "20": 0.1})
-    os.makedirs(os.path.join(run, "draws_ckpt10"))
+    run = _mk_run(wd, n_ckpts=3)
+    _mk_summary(run, {"10": 0.9, "20": 0.1, "30": 0.5})
+    done = os.path.join(run, "draws_ckpt10")
+    os.makedirs(done)
+    with open(os.path.join(done, "self_feed_draws.json"), "w") as fh:
+        json.dump({"draws": [{"combined_pvalue": 0.5}]}, fh)
+    partial = os.path.join(run, "draws_ckpt30", "draw_00")
+    os.makedirs(partial)  # no self_feed_draws.json -> must re-run
     launched = []
-    args = _args(wd, top_k=2, draws=4)
+    args = _args(wd, top_k=3, draws=4)
     pipeline.draw_batteries_at(
         pipeline.aggregate_top_checkpoints([run], args.top_k), args,
         runner=lambda cmd, **k: launched.append(cmd),
         wait_fn=lambda **k: True)
-    assert len(launched) == 1 and "checkpoints/20/model.ckpt" in launched[0]
+    hit = " ".join(" ".join(c) for c in launched)
+    assert len(launched) == 2
+    assert "checkpoints/20/model.ckpt" in hit
+    assert "checkpoints/30/model.ckpt" in hit
+    assert "checkpoints/10/model.ckpt" not in hit
 
 
 def test_best_combined_p(tmp_path):
