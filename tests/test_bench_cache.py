@@ -127,3 +127,38 @@ def test_error_line_when_no_cache(tmp_path, monkeypatch, capsys):
     assert ei.value.code == 1
     parsed = json.loads(capsys.readouterr().out.strip())
     assert parsed["value"] == 0.0 and parsed["error"] == "tunnel down"
+
+
+def test_busy_chip_emits_stale_instead_of_contended(tmp_path, monkeypatch, capsys):
+    """A chase queue can hold the chip for the whole round: with a cached
+    result, bench must emit the stale line rather than measure contended
+    (which would under-report AND poison the cache)."""
+    cache_file = tmp_path / "bench_last_good.json"
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(cache_file))
+    bench.emit(_payload(value=201.72))
+    capsys.readouterr()
+    monkeypatch.setattr(bench, "_tpu_busy", lambda: True)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    with pytest.raises(SystemExit) as exc:
+        bench._wait_for_idle_chip(max_wait_s=0.0)
+    assert exc.value.code == 0
+    out = json.loads(capsys.readouterr().out.strip())
+    assert out["stale"] is True and out["value"] == 201.72
+    assert "chip held" in out["stale_reason"]
+    # the cache itself must be untouched (no contended overwrite)
+    assert json.load(open(cache_file))[out["metric"]]["value"] == 201.72
+
+
+def test_busy_chip_without_cache_proceeds(tmp_path, monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_LAST_GOOD", str(tmp_path / "missing.json"))
+    monkeypatch.setattr(bench, "_tpu_busy", lambda: True)
+    monkeypatch.setattr(bench.time, "sleep", lambda s: None)
+    bench._wait_for_idle_chip(max_wait_s=0.0)  # returns: contended measure
+    assert "measuring contended" in capsys.readouterr().err
+
+
+def test_idle_chip_starts_immediately(monkeypatch, capsys):
+    monkeypatch.setattr(bench, "_tpu_busy", lambda: False)
+    bench._wait_for_idle_chip(max_wait_s=0.0)
+    err = capsys.readouterr().err
+    assert "busy" not in err
