@@ -67,6 +67,17 @@ def make_mesh(
     """Mesh of shape ``(sim, body)`` over the first ``n_devices`` devices."""
     devs = list(devices if devices is not None else jax.devices())
     if n_devices is not None:
+        if len(devs) < n_devices:
+            # silently truncating would build a smaller mesh than asked for
+            # and hide the misconfiguration (e.g. jax already bound to a
+            # 1-chip backend) — fail loudly instead
+            raise ValueError(
+                f"requested a {n_devices}-device mesh but only {len(devs)} "
+                f"device(s) are visible ({jax.default_backend()} backend); "
+                "bootstrap a virtual CPU backend with JAX_PLATFORMS=cpu and "
+                f"XLA_FLAGS=--xla_force_host_platform_device_count={n_devices} "
+                "before importing jax"
+            )
         devs = devs[:n_devices]
     n = len(devs)
     if n % body_parallel != 0:

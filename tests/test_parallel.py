@@ -225,3 +225,37 @@ def test_initialize_distributed_multi_host_failures_raise(monkeypatch):
     monkeypatch.setenv("SLURM_NTASKS", "1")
     with pytest.warns(UserWarning):
         initialize_distributed()
+
+
+def test_make_mesh_raises_on_insufficient_devices():
+    """Asking for more devices than visible must fail loudly, not silently
+    truncate to a smaller mesh (the round-1 dryrun failure mode)."""
+    with pytest.raises(ValueError, match="only 8 device"):
+        make_mesh(16)
+
+
+def test_dryrun_multichip_bootstraps_virtual_devices():
+    """The driver entry must pass even when jax is bound to a small backend:
+    it re-execs on a virtual CPU backend of the requested size.  Run it in a
+    child pinned to ONE CPU device to reproduce the driver's 1-chip world."""
+    import os
+    import re
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["JAX_PLATFORMS"] = "cpu"
+    env["XLA_FLAGS"] = (
+        re.sub(r"--xla_force_host_platform_device_count=\d+", "",
+               env.get("XLA_FLAGS", ""))
+        + " --xla_force_host_platform_device_count=1"
+    ).strip()
+    env.pop("_GRAFT_DRYRUN_CHILD", None)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = subprocess.run(
+        [sys.executable, "-c",
+         "import __graft_entry__ as g; g.dryrun_multichip(4)"],
+        cwd=repo, env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "dryrun_multichip OK" in out.stdout
