@@ -65,6 +65,10 @@ TPU_ROLLOUT_CONFIGS = [
     ("xla-mixed-bf16", False, "float32", None, "bfloat16"),
     ("pallas-mixed-bf16-t32", True, "float32", 32, "bfloat16"),
     ("pallas-bf16-t64", True, "bfloat16", 64, ""),
+    # fc_fast (drop the [B,N,N,He] mask-multiply passes; exact for FC masks)
+    # measured a NULL result at this shape — 198.3 vs 201.5 steps/s on
+    # 2026-08-19 — XLA already fuses the mask into the reductions for free.
+    # The option stays on the model for large-N regimes; not benched.
 ]
 N_BODIES = int(os.environ.get("BENCH_N_BODIES", 100 if MODE == "rollout" else 5))
 BATCH = int(os.environ.get("BENCH_BATCH", 64))
@@ -87,11 +91,31 @@ _LAST_GOOD = os.path.join(
 )
 
 
+def _git_sha() -> str:
+    try:
+        import subprocess
+
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+            capture_output=True, text=True, timeout=10,
+        ).stdout.strip()
+    except Exception:
+        return ""
+
+
 def emit(payload: dict) -> None:
     """Print the one-line bench JSON and mirror it to the last-good cache.
 
     The cache key is the metric name, so rollout/train/datagen modes don't
-    clobber each other."""
+    clobber each other.  Self-describing provenance fields (config, shapes,
+    git sha) make stale/fresh and config drift auditable across rounds."""
+    payload.setdefault("n_bodies", N_BODIES)
+    payload.setdefault("batch", BATCH)
+    payload.setdefault("model", MODEL)
+    sha = _git_sha()
+    if sha:
+        payload.setdefault("git_sha", sha)
     print(json.dumps(payload))
     try:
         cache = {}
@@ -169,7 +193,8 @@ def make_scene(dtype):
 
 
 def measure(
-    use_pallas: bool, dtype, params, tile=None, label=None, compute_dtype=""
+    use_pallas: bool, dtype, params, tile=None, label=None, compute_dtype="",
+    extra_kwargs=None,
 ) -> float:
     # use_pallas/pallas_tile/compute_dtype are egnn_mc-only knobs; other
     # models bench their plain dense path (their dtype comes from the scene)
@@ -180,7 +205,8 @@ def measure(
             kwargs["pallas_tile"] = tile
         if compute_dtype:
             kwargs["compute_dtype"] = compute_dtype
-    elif use_pallas or compute_dtype:
+        kwargs.update(extra_kwargs or {})
+    elif use_pallas or compute_dtype or extra_kwargs:
         raise ValueError(f"config {label or 'pallas/mixed'} is egnn_mc-only")
     model = create_model(MODEL, **kwargs)
     scene0 = make_scene(dtype)
@@ -289,6 +315,7 @@ def main_train() -> None:
             "value": round(best, 2),
             "unit": "steps/s",
             "vs_baseline": round(best / baseline, 2),
+            "config": best_name,
         }
     )
 
@@ -378,10 +405,13 @@ def main() -> None:
     results = {}
     results["xla-float32"] = measure(False, jnp.float32, params)
     if on_tpu:
-        for name, use_pallas, dtype_name, tile, cdt in TPU_ROLLOUT_CONFIGS:
+        for cfg in TPU_ROLLOUT_CONFIGS:
+            name, use_pallas, dtype_name, tile, cdt = cfg[:5]
+            extra = cfg[5] if len(cfg) > 5 else None
             try:
                 results[name] = measure(
-                    use_pallas, jnp.dtype(dtype_name), params, tile, name, cdt
+                    use_pallas, jnp.dtype(dtype_name), params, tile, name, cdt,
+                    extra,
                 )
             except Exception as e:  # keep the bench robust to kernel issues
                 log(f"{name} failed: {e!r}")
@@ -394,6 +424,8 @@ def main() -> None:
             "value": round(best, 2),
             "unit": "steps/s",
             "vs_baseline": round(best / GH200_BASELINE_STEPS_PER_SEC, 2),
+            "config": best_name,
+            "rollout_steps": ROLLOUT_STEPS,
         }
     )
 

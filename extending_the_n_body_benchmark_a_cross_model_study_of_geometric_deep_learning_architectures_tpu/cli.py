@@ -154,14 +154,15 @@ def self_feed_main(argv=None):
         f"median={median:.4g} over {len(draws)} draw(s) "
         f"(train_mode={'on' if train_mode else 'off'})"
     )
-    if args.draws > 1:
-        with open(os.path.join(out, "self_feed_draws.json"), "w") as f:
-            json.dump(
-                {"train_mode": train_mode, "seed": args.seed, "draws": draws,
-                 "best_combined_pvalue": best["combined_pvalue"],
-                 "median_combined_pvalue": median},
-                f, indent=2,
-            )
+    # written unconditionally: scripts/pipeline.py uses this file as the
+    # battery "done" marker, so a --draws 1 battery must produce it too
+    with open(os.path.join(out, "self_feed_draws.json"), "w") as f:
+        json.dump(
+            {"train_mode": train_mode, "seed": args.seed, "draws": draws,
+             "best_combined_pvalue": best["combined_pvalue"],
+             "median_combined_pvalue": median},
+            f, indent=2,
+        )
     print(f"artifacts written to {out}")
 
 

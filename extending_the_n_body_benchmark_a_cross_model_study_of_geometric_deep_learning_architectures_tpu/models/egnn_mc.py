@@ -32,6 +32,11 @@ from .common import (
 )
 
 
+def _diag(x: jnp.ndarray) -> jnp.ndarray:
+    """Diagonal of a ``[B, N, N, E]`` edge tensor -> ``[B, N, E]``."""
+    return jnp.moveaxis(jnp.diagonal(x, axis1=1, axis2=2), -1, 1)
+
+
 class _EGNNBlock(nn.Module):
     """One message-passing block (``egnn_mc.py:45-186``).
 
@@ -53,6 +58,7 @@ class _EGNNBlock(nn.Module):
     tanh: bool = False
     use_pallas: bool = False
     pallas_tile: int = 32
+    fc_fast: bool = False
 
     @nn.compact
     def __call__(self, carry, velocity, edge_attr, mask):
@@ -129,8 +135,30 @@ class _EGNNBlock(nn.Module):
             trans = jnp.clip(
                 w.astype(coord.dtype) * coord_diff, -100.0, 100.0
             )  # [B,N,N,3]
-            coord = coord + G.masked_segment_mean(trans, mask) * self.coords_weight
-            agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
+            if self.fc_fast:
+                # Fully-connected fast path: the only masked-out entries are
+                # the diagonal (self-edges), so the two [B,N,N,He]-sized
+                # mask-multiply VPU passes (the rollout's binding resource —
+                # this stage is VPU-bound, BENCH_NOTES.md op profile) can be
+                # dropped: trans's diagonal is exactly 0 (coord_diff_ii = 0,
+                # so clip(w*0) = 0), and agg's diagonal is recomputed at
+                # O(B*N) cost and subtracted.  Algebraically identical to the
+                # masked means for an FC mask.
+                n = h.shape[1]
+                coord = coord + (
+                    jnp.sum(trans, axis=2) / (n - 1)
+                ) * self.coords_weight
+                # diagonal message m_ii: radial_ii = 0 and the edge-attr
+                # diagonal carries the self-pair features
+                ea_diag = _diag(edge_attr).astype(dtype)  # [B,N,E]
+                g_diag = ea_diag @ W1d[2 * H + 1 :]
+                m_diag = act(act(hA + hB + g_diag) @ W2d + b2d)
+                agg = (jnp.sum(m_ij, axis=2) - m_diag) / (n - 1)
+            else:
+                coord = (
+                    coord + G.masked_segment_mean(trans, mask) * self.coords_weight
+                )
+                agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
 
         # --- velocity-gated coord update (egnn_mc.py:178-183).
         w_vel = MLP(
@@ -169,6 +197,10 @@ class EGNNMC(nn.Module):
     num_targets: int = 2
     use_pallas: bool = False  # fused message kernel (TPU, silu only)
     pallas_tile: int = 32  # receiver rows per kernel program
+    fc_fast: bool = False  # fully-connected graphs only: drop the two
+    # [B,N,N,He] mask-multiply VPU passes (exact for FC masks; see
+    # _EGNNBlock).  The caller must guarantee the mask is fully connected
+    # (num_neighbors == N-1), which is the reference's default workload.
     compute_dtype: str = ""  # e.g. "bfloat16": hidden/message math in low
     # precision while coordinates, geometry and integration stay in the
     # scene dtype (f32) — recovers full-precision rollout stability at
@@ -219,6 +251,7 @@ class EGNNMC(nn.Module):
             tanh=self.tanh,
             use_pallas=self.use_pallas,
             pallas_tile=self.pallas_tile,
+            fc_fast=self.fc_fast,
         )
         (h, coord), _ = scan((h, coord), velocity, edge_attr, mask)
 

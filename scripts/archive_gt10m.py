@@ -46,10 +46,14 @@ def chase_runs():
     out = []
     for pat in WORKDIR_GLOBS:
         for wd in sorted(glob.glob(pat)):
+            # oldest first by the run-dir basename timestamp
+            # (YYYY-MM-DD_HH-MM-SS sorts lexicographically); directory mtime
+            # is NOT creation order — late writes into an ancestor run dir
+            # (pipeline.py scores/draws every run dir) would reorder it
             runs = sorted(
                 (r for r in glob.glob(os.path.join(wd, "runs", "*", "*"))
                  if os.path.isdir(r)),
-                key=os.path.getmtime,
+                key=os.path.basename,
             )
             if runs:
                 out.append((wd, runs))

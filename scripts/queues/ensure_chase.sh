@@ -12,7 +12,15 @@ QDIR=/root/repo/scripts/queues
 LOGDIR=/root/repo/runs/gt10m
 mkdir -p "$LOGDIR"
 
-alive() { [ -f "$1" ] && kill -0 "$(cat "$1" 2>/dev/null)" 2>/dev/null; }
+# alive <pidfile> <queue-name>: the pid must exist AND its cmdline must
+# actually be that queue script — a recycled pid after reboot would otherwise
+# read as "alive" for an unrelated process and silently block chase recovery
+alive() {
+  local pid
+  pid=$(cat "$1" 2>/dev/null) || return 1
+  [ -n "$pid" ] && kill -0 "$pid" 2>/dev/null || return 1
+  tr '\0' ' ' < "/proc/$pid/cmdline" 2>/dev/null | grep -q "$2"
+}
 
 # nothing to do if the chase is already met
 if python3 /root/repo/scripts/archive_gt10m.py --check 2>/dev/null \
@@ -21,7 +29,7 @@ if python3 /root/repo/scripts/archive_gt10m.py --check 2>/dev/null \
   exit 0
 fi
 
-if alive /tmp/tpu_queue33.pid; then
+if alive /tmp/tpu_queue33.pid tpu_queue33; then
   echo "[ensure_chase] queue33 alive (pid $(cat /tmp/tpu_queue33.pid))"
 else
   nohup bash "$QDIR/tpu_queue33.sh" >> "$LOGDIR/queue33.out" 2>&1 &
@@ -29,7 +37,7 @@ else
   echo "[ensure_chase] queue33 relaunched (pid $(cat /tmp/tpu_queue33.pid))"
 fi
 
-if alive /tmp/tpu_queue34.pid; then
+if alive /tmp/tpu_queue34.pid tpu_queue34; then
   echo "[ensure_chase] queue34 alive (pid $(cat /tmp/tpu_queue34.pid))"
 else
   nohup bash "$QDIR/tpu_queue34.sh" "$(cat /tmp/tpu_queue33.pid)" \

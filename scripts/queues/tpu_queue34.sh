@@ -12,7 +12,14 @@ commit_archive() {  # $1 = reason
   cd /root/repo || return 1
   OUT=$(python scripts/archive_gt10m.py 2>&1)
   echo "[queue34] $OUT"
-  git add docs/results/gt_10m_chase >/dev/null 2>&1 || return 0
+  # distinguish "nothing archived yet" (missing path — fine) from real
+  # add failures (index lock contention etc.), which must be logged, not
+  # silently swallowed skipping archival commits
+  if [ ! -e docs/results/gt_10m_chase ]; then return 0; fi
+  if ! ADD_ERR=$(git add docs/results/gt_10m_chase 2>&1); then
+    echo "[queue34] git add failed (will retry next cycle): $ADD_ERR"
+    return 0
+  fi
   if ! git diff --cached --quiet -- docs/results/gt_10m_chase; then
     git commit -q \
       -m "results: GT matched-10M chase evidence ($1)" \
