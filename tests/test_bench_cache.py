@@ -24,7 +24,11 @@ def test_emit_writes_cache_and_prints_contract_line(tmp_path, monkeypatch, capsy
     bench.emit(_payload())
     line = capsys.readouterr().out.strip()
     parsed = json.loads(line)
-    assert parsed == _payload()  # stdout line is exactly the payload
+    # stdout line carries the payload plus self-describing provenance
+    for k, v in _payload().items():
+        assert parsed[k] == v
+    for k in ("n_bodies", "batch", "model"):
+        assert k in parsed
     cache = json.loads(cache_file.read_text())
     assert cache["latest"] == parsed["metric"]
     entry = cache[parsed["metric"]]

@@ -222,3 +222,22 @@ def test_equiformer_embeds_charges_when_present():
     out_mass = model.apply(params, base, mask)
     out_charge = model.apply(params, charged, mask)
     assert not np.allclose(np.asarray(out_mass), np.asarray(out_charge))
+
+
+def test_egnn_mc_fc_fast_matches_masked_path():
+    """fc_fast (mask-multiply-free FC aggregation) must be algebraically
+    identical to the masked means for a fully-connected mask."""
+    B, N = 3, 9
+    pos = jax.random.normal(jax.random.PRNGKey(0), (B, N, 3))
+    vel = jax.random.normal(jax.random.PRNGKey(1), (B, N, 3)) * 0.1
+    scene = Scene(pos=pos, vel=vel, force=jnp.zeros_like(pos),
+                  mass=jnp.ones((B, N, 1)))
+    mask = G.knn_mask(pos, N - 1)
+    kw = TINY["egnn_mc"]
+    m0 = create_model("egnn_mc", **kw)
+    m1 = create_model("egnn_mc", **kw, fc_fast=True)
+    p = m0.init(jax.random.PRNGKey(2), scene, mask)
+    o0 = m0.apply(p, scene, mask)
+    o1 = m1.apply(p, scene, mask)
+    np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
+                               rtol=1e-6, atol=1e-6)
