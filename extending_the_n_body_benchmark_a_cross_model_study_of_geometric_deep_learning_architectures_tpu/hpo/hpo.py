@@ -507,6 +507,11 @@ def run_study(
                 )
                 record["model_kwargs"] = model_kwargs
                 record["n_params"] = n_params
+            else:
+                # free/time_matched trials carry their param count too
+                # (eval_shape only — no compilation); the reference logs
+                # n_params for every trial (hpo.py:609-617)
+                record["n_params"] = _count_params(model_type, model_kwargs, 5)
             call_args = (model_kwargs, trainer_overrides)
             if pruner is not None and takes_report:
                 record["value"] = float(objective(*call_args, report=report))
