@@ -510,8 +510,14 @@ def run_study(
             else:
                 # free/time_matched trials carry their param count too
                 # (eval_shape only — no compilation); the reference logs
-                # n_params for every trial (hpo.py:609-617)
-                record["n_params"] = _count_params(model_type, model_kwargs, 5)
+                # n_params for every trial (hpo.py:609-617).  Best-effort:
+                # a kwargs set the counter can't instantiate (e.g. an
+                # injected-objective test with synthetic keys) must not
+                # fail the trial itself
+                try:
+                    record["n_params"] = _count_params(model_type, model_kwargs, 5)
+                except Exception:
+                    pass
             call_args = (model_kwargs, trainer_overrides)
             if pruner is not None and takes_report:
                 record["value"] = float(objective(*call_args, report=report))

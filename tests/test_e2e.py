@@ -123,6 +123,7 @@ def test_full_training_run_with_self_feed(tmp_run_dir):
     assert sf_recs
 
 
+@pytest.mark.slow
 def test_layer_stats_and_nan_abort(tmp_run_dir):
     args, cfg = make_args(
         tmp_run_dir,
@@ -158,6 +159,7 @@ def test_checkpoint_resume(tmp_run_dir):
         assert a == b
 
 
+@pytest.mark.slow
 def test_self_feed_cli_multi_draw(tmp_run_dir):
     args, cfg = make_args(tmp_run_dir, test_macros_every=99)
     trainer = create_trainer_from_args(args, resolved_config=cfg)
@@ -183,6 +185,7 @@ def test_self_feed_cli_multi_draw(tmp_run_dir):
     )
 
 
+@pytest.mark.slow
 def test_offline_dataloader_type_trains_on_offline_data(tmp_run_dir):
     """dataloader_type=segnn_nbody_offline must really train on the offline
     charged-systems dataset with its cutoff-rate edge masks (not silently

@@ -161,6 +161,7 @@ def test_run_study_with_stub_objective(tmp_path):
     assert best2["value"] == best["value"]
 
 
+@pytest.mark.slow
 def test_run_study_time_matched(tmp_run_dir):
     """``mode=time_matched``: no param-budget matching, and ``trial_minutes``
     bounds the real-Trainer objective's epoch loop (reference hpo.py:328) —

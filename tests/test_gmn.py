@@ -15,6 +15,8 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     create_model,
 )
 
+pytestmark = pytest.mark.slow  # model-family compiles: excluded from the core tier
+
 
 def make_scene(N, seed=0):
     k = jax.random.PRNGKey(seed)

@@ -16,7 +16,10 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     flatten_args,
 )
 
+import pytest
 
+
+@pytest.mark.slow
 def test_inferencer_roundtrip(tmp_run_dir):
     cfg = {
         "main": {"model_type": "egnn_mc"},

@@ -4,8 +4,10 @@ import json
 import os
 
 import numpy as np
+import pytest
 
 
+@pytest.mark.slow
 def test_jsonl_logger_and_manager(tmp_path):
     from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.utils.loggers import (
         JSONLLogger,

@@ -17,6 +17,8 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     create_model,
 )
 
+pytestmark = pytest.mark.slow  # model-family compiles: excluded from the core tier
+
 TINY = {
     "egnn_mc": dict(num_layers=2, hidden_node_dim=16, hidden_edge_dim=16, hidden_coord_dim=16),
     "painn": dict(num_layers=2, hidden_features=16, num_rbf=8),
@@ -178,6 +180,7 @@ EQV2_OPTION_SETS = [
 @pytest.mark.parametrize(
     "opts", EQV2_OPTION_SETS, ids=lambda o: "+".join(sorted(k for k in o))
 )
+
 def test_equiformer_option_variants(opts):
     """The reference's architectural alternates (use_gate_act / use_grid_mlp /
     use_sep_s2_act / use_m_share_rad / use_attn_renorm,

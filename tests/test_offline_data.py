@@ -88,6 +88,7 @@ def test_generate_and_load_roundtrip(tmp_path):
     assert not np.allclose(ds_test.loc_0, raw, atol=1e-5)  # actually rotated
 
 
+@pytest.mark.slow
 def test_offline_batch_feeds_models(tmp_path):
     from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
         create_model,

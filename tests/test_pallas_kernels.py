@@ -22,6 +22,8 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     gravity as GK,
 )
 
+pytestmark = pytest.mark.slow  # model-family compiles: excluded from the core tier
+
 
 @pytest.mark.parametrize("B,N", [(4, 5), (2, 100), (1, 300)])
 def test_pallas_gravity_matches_xla(B, N):

@@ -31,9 +31,12 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     create_optimizer,
 )
 
-pytestmark = pytest.mark.skipif(
-    len(jax.devices()) < 8, reason="needs 8 virtual devices"
-)
+pytestmark = [
+    pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices"),
+    # sharded-step compiles take minutes on this 1-CPU host; the driver's
+    # dryrun_multichip exercises the sharding path every round regardless
+    pytest.mark.slow,
+]
 
 
 def _setup(B=16, N=5):

@@ -19,6 +19,8 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     make_rollout_fn,
 )
 
+pytestmark = pytest.mark.slow  # model-family compiles: excluded from the core tier
+
 TINY = {
     "egnn_mc": dict(num_layers=1, hidden_node_dim=16, hidden_edge_dim=16, hidden_coord_dim=16),
     "painn": dict(num_layers=1, hidden_features=16, num_rbf=8),

@@ -73,6 +73,7 @@ def _tiny_training_setup(seed=0):
     return model, params, scene, y, mask
 
 
+@pytest.mark.slow
 def test_loss_decreases():
     model, params, scene, y, mask = _tiny_training_setup()
     args = SimpleNamespace(target="pos_dt+vel")
@@ -97,6 +98,7 @@ def test_loss_decreases():
     assert losses[-1] < losses[0] * 0.5, losses[::10]
 
 
+@pytest.mark.slow
 def test_nan_gradient_discard():
     """optax.apply_if_finite must skip updates on NaN grads
     (discard_nan_gradients semantics, trainer.py:207-213)."""
@@ -121,6 +123,7 @@ def test_gradient_clipping_value_and_norm():
         assert float(jnp.abs(up["w"]).max()) < 1.0  # clipped before adam
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip(tmp_path):
     model, params, scene, y, mask = _tiny_training_setup()
     tx = create_optimizer(0.5, model_size=32)
@@ -166,6 +169,7 @@ def test_dynamic_weighted_loss():
     assert np.isclose(float(rv), 1.0, atol=1e-3)
 
 
+@pytest.mark.slow
 def test_checkpoint_roundtrip_orbax(tmp_path):
     """Orbax backend: directory format, restore via live-template rebuild."""
     model, params, scene, y, mask = _tiny_training_setup()

@@ -14,6 +14,8 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
     flatten_args,
 )
 
+pytestmark = pytest.mark.slow  # model-family compiles: excluded from the core tier
+
 
 def make_cfg(model="egnn_mc", model_kwargs=None, trainer_over=None, batch=4):
     return {
