@@ -47,10 +47,12 @@ FIELDS = [
 
 
 def _model_from_run_path(run_path: str, folder: str) -> str:
-    # archived run_path looks like .../runs/<model>/<timestamp>__name
+    # archived run_path looks like .../runs/<model>/<timestamp>__name; take
+    # the LAST "runs" segment — pipeline workdirs nest their own runs/ under
+    # a runs/-rooted workdir (runs/gt10m/<cand>/runs/graph_transformer/...)
     parts = os.path.normpath(run_path).split(os.sep)
     if "runs" in parts:
-        i = parts.index("runs")
+        i = len(parts) - 1 - parts[::-1].index("runs")
         if i + 1 < len(parts):
             return parts[i + 1]
     return folder.split("_")[0]
