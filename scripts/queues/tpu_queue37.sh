@@ -13,6 +13,10 @@
 #
 # Done criterion: a 10M-class eqv2 row with a 12-draw battery best >= 0.082.
 # Each step is idempotent (pipeline.py resumes) and probe-gated.
+#
+# model.remat=true is REQUIRED at this scale: without it the 8-layer scan
+# keeps every block's per-edge intermediates for backprop and the train step
+# OOMs HBM at compile (15.93G vs 15.75G on v5e; measured 2026-08-19).
 set -u
 HORIZON_H=${Q37_HORIZON_H:-12}
 DEADLINE=$(( $(date +%s) + HORIZON_H * 3600 ))
@@ -46,6 +50,7 @@ eqv2_run() {  # $1=tag $2=layers $3=channels $4=epochs $5=deadline_hours
     -o "model.attn_hidden_channels=$3" \
     -o "model.ffn_hidden_channels=$3" \
     -o "model.num_heads=8" \
+    -o "model.remat=true" \
     >> "$wd/pipeline_q37.log" 2>&1
   echo "[queue37] eqv2_10m $1 rc=$? $(date); tail: $(tail -1 "$wd/pipeline_q37.log")"
 }

@@ -244,3 +244,30 @@ def test_egnn_mc_fc_fast_matches_masked_path():
     o1 = m1.apply(p, scene, mask)
     np.testing.assert_allclose(np.asarray(o0), np.asarray(o1),
                                rtol=1e-6, atol=1e-6)
+
+
+def test_equiformer_remat_matches_baseline():
+    """``remat=True`` (jax.checkpoint on the scanned transformer block —
+    the HBM knob that fits 10M-class shapes on one v5e chip) must share the
+    param tree with the default path and reproduce its gradients bit-near:
+    rematerialisation changes the backward schedule, never the math."""
+    import jax.flatten_util
+
+    scene = make_scene(jax.random.PRNGKey(40))
+    mask = G.knn_mask(scene.pos, 4)
+    kw = {**TINY["equiformer_v2"], "num_layers": 3}
+    m0 = create_model("equiformer_v2", **kw)
+    m1 = create_model("equiformer_v2", remat=True, **kw)
+    params = m0.init(jax.random.PRNGKey(41), scene, mask)
+
+    def loss(m):
+        return lambda p: jnp.sum(m.apply(p, scene, mask) ** 2)
+
+    g0, _ = jax.flatten_util.ravel_pytree(jax.grad(loss(m0))(params))
+    g1, _ = jax.flatten_util.ravel_pytree(jax.grad(loss(m1))(params))
+    np.testing.assert_allclose(np.asarray(g0), np.asarray(g1),
+                               rtol=1e-5, atol=1e-6)
+    # train-mode (static dropout branches) still compiles under the wrapper
+    out = m1.apply(params, scene, mask, True,
+                   rngs={"dropout": jax.random.PRNGKey(42)})
+    assert bool(jnp.isfinite(out).all())
