@@ -200,6 +200,8 @@ class PaiNN(nn.Module):
     clip_q_value: Optional[float] = None
     clip_mu_norm: Optional[float] = None
     filter_gain: float = 1.0
+    remat: bool = False  # jax.checkpoint each scanned layer in backprop:
+    # O(1)-depth activation HBM at ~1/3 extra FLOPs, math unchanged
 
     @nn.compact
     def __call__(self, scene: Scene, mask, train: bool = False):
@@ -223,7 +225,7 @@ class PaiNN(nn.Module):
         cut = G.cosine_cutoff(dist, self.cutoff)
 
         scan = nn.scan(
-            _PaiNNBlock,
+            nn.remat(_PaiNNBlock) if self.remat else _PaiNNBlock,
             variable_axes={"params": 0},
             split_rngs={"params": True},
             in_axes=(nn.broadcast,) * 4,
@@ -239,6 +241,8 @@ class PaiNN(nn.Module):
             clip_q_value=self.clip_q_value,
             clip_mu_norm=self.clip_mu_norm,
             filter_gain=self.filter_gain,
+            # pinned so remat=True/False share one param tree
+            name="Scan_PaiNNBlock_0",
         )
         (q, mu), _ = scan((q, mu), rbf, unit, cut, mask)
 
