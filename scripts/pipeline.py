@@ -397,6 +397,13 @@ def main(argv: Optional[Sequence[str]] = None,
          runner: Runner = subprocess.run,
          wait_fn: Optional[Callable[..., bool]] = None) -> int:
     args = build_parser().parse_args(argv)
+    # The trainer subprocess runs with cwd=args.workdir, so every path the
+    # pipeline hands it (resume ckpt globbed under the workdir, the config)
+    # must be absolute — a relative --workdir otherwise produces a resume
+    # path that does not exist from inside the workdir and every resume
+    # attempt crashes with FileNotFoundError (observed 2026-08-19).
+    args.workdir = os.path.abspath(args.workdir)
+    args.config = os.path.abspath(args.config)
     run = ensure_run(args, runner=runner, wait_fn=wait_fn)
     if run is None:
         print(json.dumps({"status": "failed", "stage": "train"}))

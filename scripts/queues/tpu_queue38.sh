@@ -43,6 +43,16 @@ left_h=$(( (DEADLINE - $(date +%s)) / 3600 ))
 [ "$left_h" -ge 1 ] || left_h=1
 wd="$WROOT/egnn_hpo_winner"
 mkdir -p "$wd"
+
+# runs/ is gitignored and wiped on machine hand-offs: seed the workdir from
+# the committed epoch-23 snapshot (docs/results/egnn_hpo_winner_partial/)
+# so the pipeline RESUMES instead of retraining from scratch.
+SEED=/root/repo/docs/results/egnn_hpo_winner_partial/model.ckpt
+if [ -f "$SEED" ] && [ -z "$(ls -A "$wd/runs" 2>/dev/null)" ]; then
+  mkdir -p "$wd/runs/egnn_mc/2026-08-19_20-22-09__seeded_from_archive"
+  cp "$SEED" "$wd/runs/egnn_mc/2026-08-19_20-22-09__seeded_from_archive/model.ckpt"
+  echo "[queue38] seeded workdir from archived epoch-23 snapshot"
+fi
 echo "[queue38] egnn_mc HPO-winner row (L6 h240, lr 0.0821, 200 ep) $(date)"
 python /root/repo/scripts/pipeline.py --workdir "$wd" \
   --model egnn_mc --epochs 200 --run-name egnn_hpo_winner \

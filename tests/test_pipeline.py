@@ -227,6 +227,38 @@ def test_ensure_run_resumes_from_partial_run(tmp_path):
     assert cmds[1][cmds[1].index("--config") + 1] == args.config
 
 
+def test_main_normalizes_relative_workdir(tmp_path, monkeypatch, capsys):
+    """main() with a RELATIVE --workdir must hand the trainer an ABSOLUTE
+    resume path: the trainer subprocess runs with cwd=workdir, so a
+    workdir-relative model_path does not exist from in there and every
+    resume attempt crashes (observed live 2026-08-19, runs/r2 queue38)."""
+    monkeypatch.chdir(tmp_path)
+    _mk_partial(str(tmp_path / "wd"), "a", [10, 20], mtime=1000)
+    cmds = []
+
+    def runner(cmd, env=None, **kw):
+        cmd = list(cmd)
+        cmds.append(cmd)
+        if any("train.py" in c for c in cmd):
+            _mk_partial(str(tmp_path / "wd"), "b", [30, 40, 50], mtime=2000)
+        elif any("ks_test.py" in c for c in cmd):
+            for rd in pipeline.runs_with_checkpoints(str(tmp_path / "wd")):
+                _mk_summary(rd, {"10": 0.7})
+
+    rc = pipeline.main(["--workdir", "wd", "--model", "graph_transformer",
+                        "--epochs", "50", "--min-checkpoints", "99",
+                        "--ckpt-interval", "10", "--top-k", "1",
+                        "--skip-draws", "--deadline-hours", "0.01",
+                        "--poll-s", "0.01"],
+                       runner=runner, wait_fn=lambda **k: True)
+    assert rc == 0
+    train_cmd = next(c for c in cmds if any("train.py" in x for x in c))
+    resume = train_cmd[train_cmd.index("--trainer.model_path") + 1]
+    assert os.path.isabs(resume) and os.path.exists(resume)
+    cfg = train_cmd[train_cmd.index("--config") + 1]
+    assert os.path.isabs(cfg)
+
+
 def test_target_reached_respects_ckpt_interval(tmp_path):
     wd = str(tmp_path)
     args = _args(wd)
