@@ -36,10 +36,18 @@ gate() {
 }
 left_s() { echo $(( DEADLINE - $(date +%s) )); }
 
+SIDECAR=/root/repo/scripts/queues/snapshot_sidecar.sh
+
 eqv2_run() {  # $1=tag $2=layers $3=channels $4=epochs $5=deadline_hours
   local wd="$WROOT/eqv2_10m_$1"
   mkdir -p "$wd"
   echo "[queue37] eqv2_10m $1 (L$2 c$3, $4 ep) $(date)"
+  # hand-off safety: resume from any committed partial, mirror progress back
+  bash "$SIDECAR" seed "$wd" equiformer_v2 "eqv2_10m_$1"
+  rm -f "$wd/.sidecar_stop"
+  bash "$SIDECAR" watch "$wd" "eqv2_10m_$1" 600 "$DEADLINE" \
+    >> "$wd/sidecar.log" 2>&1 &
+  local sidecar_pid=$!
   python /root/repo/scripts/pipeline.py --workdir "$wd" \
     --model equiformer_v2 --epochs "$4" --run-name "eqv2_10m_$1" \
     --min-checkpoints 10 --ckpt-interval 10 \
@@ -53,6 +61,7 @@ eqv2_run() {  # $1=tag $2=layers $3=channels $4=epochs $5=deadline_hours
     -o "model.remat=true" \
     >> "$wd/pipeline_q37.log" 2>&1
   echo "[queue37] eqv2_10m $1 rc=$? $(date); tail: $(tail -1 "$wd/pipeline_q37.log")"
+  touch "$wd/.sidecar_stop"; wait "$sidecar_pid" 2>/dev/null
 }
 
 # primary: the deep shape that won the GT-10M chase pattern (depth over width)

@@ -43,10 +43,18 @@ gate() {
 }
 left_s() { echo $(( DEADLINE - $(date +%s) )); }
 
+SIDECAR=/root/repo/scripts/queues/snapshot_sidecar.sh
+
 cgenn_run() {  # $1=tag $2=layers $3=hidden $4=deadline_hours
   local wd="$WROOT/cgenn_10m_$1"
   mkdir -p "$wd"
   echo "[queue39] cgenn_10m $1 (L$2 h$3, 120 ep) $(date)"
+  # hand-off safety: resume from any committed partial, mirror progress back
+  bash "$SIDECAR" seed "$wd" cgenn "cgenn_10m_$1"
+  rm -f "$wd/.sidecar_stop"
+  bash "$SIDECAR" watch "$wd" "cgenn_10m_$1" 600 "$DEADLINE" \
+    >> "$wd/sidecar.log" 2>&1 &
+  local sidecar_pid=$!
   python /root/repo/scripts/pipeline.py --workdir "$wd" \
     --model cgenn --epochs 120 --run-name "cgenn_10m_$1" \
     --min-checkpoints 10 --ckpt-interval 10 \
@@ -57,6 +65,7 @@ cgenn_run() {  # $1=tag $2=layers $3=hidden $4=deadline_hours
     -o "model.remat=true" \
     >> "$wd/pipeline_q39.log" 2>&1
   echo "[queue39] cgenn_10m $1 rc=$? $(date); tail: $(tail -1 "$wd/pipeline_q39.log")"
+  touch "$wd/.sidecar_stop"; wait "$sidecar_pid" 2>/dev/null
 }
 
 gate; cgenn_run L6h176 6 176 4
