@@ -22,7 +22,7 @@
 # live copy always reads a complete snapshot.  Commits touch only the
 # archive path; add failures are logged, not swallowed (ADVICE round-1).
 set -u
-REPO=/root/repo
+REPO=${SIDECAR_REPO:-/root/repo}   # override for tests
 CMD=${1:?usage: snapshot_sidecar.sh seed|watch ...}
 
 newest_ckpt() {  # $1=workdir -> newest model.ckpt under runs/*/*/ (or empty)
