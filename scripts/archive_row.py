@@ -1,0 +1,123 @@
+"""Archive a pipeline workdir into a committed docs/results/ row.
+
+The transient workdir (gitignored runs/) holds the evidence a scoreboard
+row needs: per-checkpoint KS series (``ks_summary.json``, from
+``ks_test.py`` — reference analogue ``ks_test_model_checkpoints.py``
+outputs) and the 12-draw self-feed batteries
+(``draws_ckpt*/self_feed_draws.json``).  This flattens them into
+``docs/results/<row>/`` using the same layout as the hand-archived rows
+(e.g. ``cgenn_harden_A/``): one ``ks_summary.json`` per source run dir
+(suffixing when a workdir has several), ``draws_ckptNN.json`` /
+``draws2_ckptNN.json`` battery summaries, ks_results.csv/png when the
+scorer wrote them, plus a provenance README with the headline numbers.
+
+Usage::
+
+    python scripts/archive_row.py --workdir runs/r2/egnn_hpo_winner \
+        --dest egnn_hpo_winner [--note "..."]
+"""
+from __future__ import annotations
+
+import argparse
+import glob
+import json
+import os
+import shutil
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def collect(workdir: str):
+    """(run_dir, files) pairs worth archiving, oldest run first."""
+    out = []
+    run_dirs = sorted(
+        (r for r in glob.glob(os.path.join(workdir, "runs", "*", "*"))
+         if os.path.isdir(r)),
+        key=os.path.basename,
+    )
+    for rd in run_dirs:
+        files = []
+        for name in ("ks_summary.json", "ks_results.csv", "ks_results.png"):
+            p = os.path.join(rd, name)
+            if os.path.exists(p):
+                files.append((p, name))
+        for f in sorted(glob.glob(
+                os.path.join(rd, "draws*", "self_feed_draws.json"))):
+            files.append((f, os.path.basename(os.path.dirname(f)) + ".json"))
+        if files:
+            out.append((rd, files))
+    return out
+
+
+def headline(dest: str):
+    """(best in-run p/ckpt, best battery p/file) across archived files."""
+    best_run = (-1.0, None)
+    best_draw = (-1.0, None)
+    for f in glob.glob(os.path.join(dest, "ks_summary*.json")):
+        try:
+            with open(f) as fh:
+                for rec in json.load(fh).get("results", []):
+                    p = rec.get("combined_pvalue", 0.0)
+                    if p > best_run[0]:
+                        best_run = (p, str(rec["checkpoint"]))
+        except (OSError, ValueError):
+            continue
+    for f in glob.glob(os.path.join(dest, "draws*ckpt*.json")):
+        try:
+            with open(f) as fh:
+                p = json.load(fh).get("best_combined_pvalue", 0.0)
+        except (OSError, ValueError):
+            continue
+        if p > best_draw[0]:
+            best_draw = (p, os.path.basename(f))
+    return best_run, best_draw
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", required=True)
+    ap.add_argument("--dest", required=True,
+                    help="row name under docs/results/")
+    ap.add_argument("--results-dir",
+                    default=os.path.join(REPO, "docs", "results"))
+    ap.add_argument("--note", default="")
+    args = ap.parse_args(argv)
+
+    pairs = collect(args.workdir)
+    if not pairs:
+        print(f"archive_row: nothing to archive under {args.workdir}",
+              file=sys.stderr)
+        return 1
+    dest = os.path.join(args.results_dir, args.dest)
+    os.makedirs(dest, exist_ok=True)
+    sources = []
+    for i, (rd, files) in enumerate(pairs):
+        suffix = "" if len(pairs) == 1 else f"_{i}"
+        for src, name in files:
+            base, ext = os.path.splitext(name)
+            shutil.copy2(src, os.path.join(dest, f"{base}{suffix}{ext}"))
+        sources.append(os.path.relpath(rd, args.workdir))
+
+    (run_p, run_ck), (draw_p, draw_f) = headline(dest)
+    with open(os.path.join(dest, "README.md"), "w") as fh:
+        fh.write(f"# {args.dest}\n\n")
+        if args.note:
+            fh.write(args.note.rstrip() + "\n\n")
+        fh.write(f"Archived from `{args.workdir}` "
+                 f"(run dirs: {', '.join(sources)}).\n\n")
+        if run_ck is not None:
+            fh.write(f"- best in-run combined KS p: **{run_p:.4g}** "
+                     f"@ ckpt {run_ck}\n")
+        if draw_f is not None:
+            fh.write(f"- best battery draw: **{draw_p:.4g}** ({draw_f})\n")
+    print(json.dumps({
+        "dest": dest, "sources": sources,
+        "best_in_run_p": run_p, "best_in_run_ckpt": run_ck,
+        "best_battery_p": draw_p, "best_battery_file": draw_f,
+    }))
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

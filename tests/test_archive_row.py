@@ -1,0 +1,65 @@
+"""archive_row.py flattens a pipeline workdir into a docs/results row."""
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _mk_run(wd, name, ck_p, draw_p):
+    rd = wd / "runs" / "egnn_mc" / name
+    rd.mkdir(parents=True)
+    (rd / "ks_summary.json").write_text(json.dumps(
+        {"results": [{"checkpoint": 50, "combined_pvalue": ck_p}]}))
+    d = rd / "draws_ckpt50"
+    d.mkdir()
+    (d / "self_feed_draws.json").write_text(json.dumps(
+        {"best_combined_pvalue": draw_p, "draws": []}))
+    d2 = rd / "draws2_ckpt50"
+    d2.mkdir()
+    (d2 / "self_feed_draws.json").write_text(json.dumps(
+        {"best_combined_pvalue": draw_p / 2, "draws": []}))
+    return rd
+
+
+def test_archive_row_flattens_and_reports(tmp_path):
+    wd = tmp_path / "wd"
+    _mk_run(wd, "2026-01-01_00-00-00__a", 1e-4, 3e-3)
+    results = tmp_path / "results"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(wd), "--dest", "rowz",
+         "--results-dir", str(results), "--note", "test row"],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    payload = json.loads(r.stdout)
+    dest = results / "rowz"
+    assert (dest / "ks_summary.json").exists()
+    assert (dest / "draws_ckpt50.json").exists()
+    assert (dest / "draws2_ckpt50.json").exists()
+    assert payload["best_battery_p"] == 3e-3
+    assert payload["best_in_run_ckpt"] == "50"
+    readme = (dest / "README.md").read_text()
+    assert "test row" in readme and "0.003" in readme
+
+    # a second source run dir must be suffixed, not clobbered
+    _mk_run(wd, "2026-01-02_00-00-00__b", 2e-3, 9e-3)
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(wd), "--dest", "rowz",
+         "--results-dir", str(results)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert (dest / "ks_summary_0.json").exists()
+    assert (dest / "ks_summary_1.json").exists()
+    assert json.loads(r.stdout)["best_battery_p"] == 9e-3
+
+
+def test_archive_row_empty_workdir_fails(tmp_path):
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(tmp_path), "--dest", "roww",
+         "--results-dir", str(tmp_path / "res")],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 1
