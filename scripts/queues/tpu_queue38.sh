@@ -45,14 +45,13 @@ wd="$WROOT/egnn_hpo_winner"
 mkdir -p "$wd"
 
 # runs/ is gitignored and wiped on machine hand-offs: seed the workdir from
-# the committed epoch-23 snapshot (docs/results/egnn_hpo_winner_partial/)
-# so the pipeline RESUMES instead of retraining from scratch.
-SEED=/root/repo/docs/results/egnn_hpo_winner_partial/model.ckpt
-if [ -f "$SEED" ] && [ -z "$(ls -A "$wd/runs" 2>/dev/null)" ]; then
-  mkdir -p "$wd/runs/egnn_mc/2026-08-19_20-22-09__seeded_from_archive"
-  cp "$SEED" "$wd/runs/egnn_mc/2026-08-19_20-22-09__seeded_from_archive/model.ckpt"
-  echo "[queue38] seeded workdir from archived epoch-23 snapshot"
-fi
+# the committed snapshot and mirror progress back (snapshot_sidecar.sh).
+SIDECAR=/root/repo/scripts/queues/snapshot_sidecar.sh
+bash "$SIDECAR" seed "$wd" egnn_mc egnn_hpo_winner
+rm -f "$wd/.sidecar_stop"
+bash "$SIDECAR" watch "$wd" egnn_hpo_winner 600 "$DEADLINE" \
+  >> "$wd/sidecar.log" 2>&1 &
+SIDECAR_PID=$!
 echo "[queue38] egnn_mc HPO-winner row (L6 h240, lr 0.0821, 200 ep) $(date)"
 python /root/repo/scripts/pipeline.py --workdir "$wd" \
   --model egnn_mc --epochs 200 --run-name egnn_hpo_winner \
@@ -66,4 +65,5 @@ python /root/repo/scripts/pipeline.py --workdir "$wd" \
   -o "trainer.learning_rate_warmup_steps=2048" \
   >> "$wd/pipeline_q38.log" 2>&1
 echo "[queue38] rc=$? $(date); tail: $(tail -1 "$wd/pipeline_q38.log")"
+touch "$wd/.sidecar_stop"; wait "$SIDECAR_PID" 2>/dev/null
 echo "[queue38] ALL DONE $(date) — chip idle"
