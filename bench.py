@@ -192,10 +192,33 @@ def make_scene(dtype):
     )
 
 
+def pick_headline(results: dict) -> str:
+    """Headline config: best steps/s SUBJECT TO rollout fidelity.
+
+    ``results`` maps config name -> (steps/s, survived_min).  A config is
+    eligible only if its min-survived-steps is within SURVIVED_TOL of the
+    xla-float32 reference config's — a 1% speed edge must not buy the
+    headline at the cost of dozens of survived rollout steps (round-2
+    VERDICT #6: full-bf16 loses ~75 survived steps to position mantissa
+    erosion; mixed-bf16 matches f32 fidelity at 99% of bf16 speed).
+    Falls back to all configs if none are eligible (e.g. f32 itself
+    missing)."""
+    ref = results.get("xla-float32")
+    eligible = results
+    if ref is not None:
+        ok = {k: v for k, v in results.items() if v[1] >= ref[1] - SURVIVED_TOL}
+        if ok:
+            eligible = ok
+    return max(eligible.items(), key=lambda kv: kv[1][0])[0]
+
+
+SURVIVED_TOL = 5  # steps; survived_min slack vs the f32 reference config
+
+
 def measure(
     use_pallas: bool, dtype, params, tile=None, label=None, compute_dtype="",
     extra_kwargs=None,
-) -> float:
+) -> tuple:
     # use_pallas/pallas_tile/compute_dtype are egnn_mc-only knobs; other
     # models bench their plain dense path (their dtype comes from the scene)
     kwargs = {}
@@ -230,11 +253,12 @@ def measure(
     dt = time.time() - t0
     sps = (ROLLOUT_STEPS - 1) / dt
     name = label or f"{'pallas' if use_pallas else 'xla'}-{jnp.dtype(dtype).name}"
+    smin = int(survived.min())
     log(
         f"{name}: compile+1st {compile_s:.1f}s, steady {dt:.3f}s "
-        f"-> {sps:.1f} steps/s (survived min {int(survived.min())})"
+        f"-> {sps:.1f} steps/s (survived min {smin})"
     )
-    return sps
+    return sps, smin
 
 
 def measure_train(dtype, label) -> float:
@@ -416,18 +440,21 @@ def main() -> None:
             except Exception as e:  # keep the bench robust to kernel issues
                 log(f"{name} failed: {e!r}")
 
-    best_name, best = max(results.items(), key=lambda kv: kv[1])
-    log(f"best config: {best_name}")
-    emit(
-        {
-            "metric": f"self_feed_rollout_steps_per_sec_n{N_BODIES}_{MODEL}",
-            "value": round(best, 2),
-            "unit": "steps/s",
-            "vs_baseline": round(best / GH200_BASELINE_STEPS_PER_SEC, 2),
-            "config": best_name,
-            "rollout_steps": ROLLOUT_STEPS,
-        }
-    )
+    best_name = pick_headline(results)
+    best, best_smin = results[best_name]
+    log(f"best config: {best_name} (survived_min {best_smin})")
+    payload = {
+        "metric": f"self_feed_rollout_steps_per_sec_n{N_BODIES}_{MODEL}",
+        "value": round(best, 2),
+        "unit": "steps/s",
+        "vs_baseline": round(best / GH200_BASELINE_STEPS_PER_SEC, 2),
+        "config": best_name,
+        "rollout_steps": ROLLOUT_STEPS,
+        "survived_min": best_smin,
+    }
+    if "xla-float32" in results:
+        payload["survived_min_f32_ref"] = results["xla-float32"][1]
+    emit(payload)
 
 
 def _tpu_busy() -> bool:

@@ -54,20 +54,23 @@ def headline(dest: str):
     """(best in-run p/ckpt, best battery p/file) across archived files."""
     best_run = (-1.0, None)
     best_draw = (-1.0, None)
+    # tolerate malformed/partial files per-file: a missing 'checkpoint',
+    # non-dict JSON root, or non-numeric p must skip the file, not crash
+    # after copies already landed (ADVICE round-2)
     for f in glob.glob(os.path.join(dest, "ks_summary*.json")):
         try:
             with open(f) as fh:
                 for rec in json.load(fh).get("results", []):
                     p = rec.get("combined_pvalue", 0.0)
                     if p > best_run[0]:
-                        best_run = (p, str(rec["checkpoint"]))
-        except (OSError, ValueError):
+                        best_run = (p, str(rec.get("checkpoint", "?")))
+        except (OSError, ValueError, KeyError, AttributeError, TypeError):
             continue
     for f in glob.glob(os.path.join(dest, "draws*ckpt*.json")):
         try:
             with open(f) as fh:
                 p = json.load(fh).get("best_combined_pvalue", 0.0)
-        except (OSError, ValueError):
+        except (OSError, ValueError, KeyError, AttributeError, TypeError):
             continue
         if p > best_draw[0]:
             best_draw = (p, os.path.basename(f))
@@ -91,6 +94,12 @@ def main(argv=None) -> int:
         return 1
     dest = os.path.join(args.results_dir, args.dest)
     os.makedirs(dest, exist_ok=True)
+    # re-archiving after the workdir grew (e.g. 1 -> N run dirs) must not
+    # leave the old unsuffixed copies beside the new suffixed ones
+    # (ADVICE round-2): clear previously archived evidence files first
+    for pat in ("ks_summary*.json", "ks_results*", "draws*ckpt*.json"):
+        for old in glob.glob(os.path.join(dest, pat)):
+            os.remove(old)
     sources = []
     for i, (rd, files) in enumerate(pairs):
         suffix = "" if len(pairs) == 1 else f"_{i}"

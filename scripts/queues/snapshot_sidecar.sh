@@ -21,6 +21,14 @@
 # model.ckpt is written atomically (checkpoint.py: tmp + os.replace), so a
 # live copy always reads a complete snapshot.  Commits touch only the
 # archive path; add failures are logged, not swallowed (ADVICE round-1).
+#
+# History hygiene (ADVICE round-2): each snapshot is ~22MB; committing a new
+# blob every cycle balloons git history over a multi-hour run.  The watch
+# loop therefore AMENDS the previous snapshot commit whenever HEAD is this
+# tag's own snapshot commit (keeping exactly one live blob per tag between
+# builder commits), and stages through a temporary index (GIT_INDEX_FILE)
+# so a failed/racing commit can never leave the partial staged in the
+# builder's index.
 set -u
 REPO=${SIDECAR_REPO:-/root/repo}   # override for tests
 CMD=${1:?usage: snapshot_sidecar.sh seed|watch ...}
@@ -46,9 +54,17 @@ case "$CMD" in
     WD=${2:?workdir}; TAG=${3:?tag}
     INTERVAL=${4:-600}; DEADLINE=${5:-$(( $(date +%s) + 86400 ))}
     DEST="$REPO/docs/results/${TAG}_partial"
+    SUBJ="partial snapshot: ${TAG} (hand-off safety sidecar)"
     echo "[sidecar] watching $WD -> $DEST every ${INTERVAL}s"
+    # sleep in short slices so `touch .sidecar_stop` stops the watch within
+    # seconds instead of stalling the queue by a full in-flight INTERVAL
+    # (ADVICE round-2)
+    napped=0
     while [ ! -e "$WD/.sidecar_stop" ] && [ "$(date +%s)" -lt "$DEADLINE" ]; do
-      sleep "$INTERVAL"
+      if [ "$napped" -lt "$INTERVAL" ]; then
+        sleep 1; napped=$((napped + 1)); continue
+      fi
+      napped=0
       src=$(newest_ckpt "$WD")
       [ -n "$src" ] || continue
       # only re-archive when the trainer actually wrote a newer snapshot
@@ -61,15 +77,34 @@ case "$CMD" in
       [ -f "$run_dir/ks_summary.json" ] && cp "$run_dir/ks_summary.json" "$DEST/"
       printf '{"tag": "%s", "src": "%s", "archived_at": "%s"}\n' \
         "$TAG" "$src" "$(date -u +%FT%TZ)" > "$DEST/snapshot.json"
-      if ! ADD_ERR=$(git -C "$REPO" add "docs/results/${TAG}_partial" 2>&1); then
+      # Stage through a temporary index: the builder's own index is never
+      # touched, so a failed commit can't leave the partial staged there.
+      # -u: git refuses a pre-created empty index file; the path must not exist
+      TMPIDX=$(mktemp -u "$REPO/.git/sidecar_index.XXXXXX")
+      if git -C "$REPO" rev-parse -q --verify HEAD >/dev/null 2>&1; then
+        BASE="git -C '$REPO' read-tree HEAD &&"
+      else
+        BASE=""   # unborn HEAD (fresh repo): start from an empty index
+      fi
+      if ! ADD_ERR=$(GIT_INDEX_FILE="$TMPIDX" sh -c \
+          "$BASE git -C '$REPO' add 'docs/results/${TAG}_partial'" 2>&1); then
         echo "[sidecar] git add failed (retry next cycle): $ADD_ERR"
-        continue
+        rm -f "$TMPIDX"; continue
       fi
-      if ! git -C "$REPO" diff --cached --quiet -- "docs/results/${TAG}_partial"; then
-        git -C "$REPO" commit -q -m "partial snapshot: ${TAG} (hand-off safety sidecar)" \
-          -- "docs/results/${TAG}_partial" \
-          || echo "[sidecar] git commit failed (retry next cycle)"
+      if ! GIT_INDEX_FILE="$TMPIDX" git -C "$REPO" diff --cached --quiet -- "docs/results/${TAG}_partial"; then
+        # Amend when HEAD is already this tag's snapshot commit: keeps ONE
+        # live ~22MB blob per tag in history instead of one per cycle.
+        AMEND=""
+        [ "$(git -C "$REPO" log -1 --format=%s 2>/dev/null)" = "$SUBJ" ] && AMEND="--amend"
+        if GIT_INDEX_FILE="$TMPIDX" git -C "$REPO" commit -q $AMEND -m "$SUBJ"; then
+          # sync the MAIN index with the new HEAD for these paths, else
+          # `git status` shows them as staged deletions to the builder
+          git -C "$REPO" add "docs/results/${TAG}_partial" 2>/dev/null || true
+        else
+          echo "[sidecar] git commit failed (retry next cycle)"
+        fi
       fi
+      rm -f "$TMPIDX"
       echo "[sidecar] archived $src at $(date -u +%T)"
     done
     echo "[sidecar] done ($TAG) at $(date)"

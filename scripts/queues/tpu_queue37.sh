@@ -65,7 +65,7 @@ eqv2_run() {  # $1=tag $2=layers $3=channels $4=epochs $5=deadline_hours
 }
 
 # primary: the deep shape that won the GT-10M chase pattern (depth over width)
-gate; eqv2_run L8c128 8 128 200 5
+gate; eqv2_run L8c128 8 128 200 "${Q37_PRIMARY_H:-5}"
 # backstop if time remains: the deepest budget shape
 if [ "$(left_s)" -gt 14400 ]; then
   gate; eqv2_run L10c112 10 112 200 4

@@ -43,7 +43,29 @@ FIELDS = [
     "best_draw_pvalue",
     "best_draw_checkpoint",
     "best_overall_pvalue",
+    "superseded_by",
 ]
+
+_SUPERSEDED_RE = re.compile(r"^superseded-by:\s*(\S+)", re.MULTILINE)
+
+
+def _superseded_by(folder_path: str) -> str:
+    """Successor row named by a ``superseded-by:`` marker in the folder's
+    README (or a parent grouping folder's README), else ''.
+
+    Historical rows stay in the CSV for provenance but are flagged so no
+    reader quotes a pre-fix number as current (round-2 VERDICT #7).
+    """
+    for candidate in (folder_path, os.path.dirname(folder_path)):
+        readme = os.path.join(candidate, "README.md")
+        try:
+            with open(readme) as fh:
+                m = _SUPERSEDED_RE.search(fh.read())
+        except OSError:
+            continue
+        if m:
+            return m.group(1)
+    return ""
 
 
 def _model_from_run_path(run_path: str, folder: str) -> str:
@@ -98,6 +120,7 @@ def collect(results_dir: str):
         draw_p, draw_ck = _best_draw(folder_path)
         in_run = s.get("best_combined_pvalue", float("nan"))
         candidates = [v for v in (in_run, draw_p) if v == v]
+        superseded = _superseded_by(folder_path)
         rows.append(
             {
                 "folder": folder,
@@ -109,9 +132,11 @@ def collect(results_dir: str):
                 "best_draw_pvalue": draw_p if draw_p == draw_p else "",
                 "best_draw_checkpoint": draw_ck if draw_ck is not None else "",
                 "best_overall_pvalue": max(candidates) if candidates else "",
+                "superseded_by": superseded,
             }
         )
-        if s.get("results"):
+        # the multi-model plot shows only CURRENT rows
+        if s.get("results") and not superseded:
             series[f"{model} ({folder})"] = s["results"]
     return rows, series
 

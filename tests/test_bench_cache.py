@@ -166,3 +166,22 @@ def test_idle_chip_starts_immediately(monkeypatch, capsys):
     bench._wait_for_idle_chip(max_wait_s=0.0)
     err = capsys.readouterr().err
     assert "busy" not in err
+
+
+def test_pick_headline_prefers_quality_within_noise():
+    """Headline = best steps/s among configs whose survived_min is within
+    SURVIVED_TOL of the f32 reference config (round-2 VERDICT #6): a ~1%
+    speed edge must not win with 75 fewer survived steps."""
+    results = {
+        "xla-float32": (159.0, 476),
+        "xla-bfloat16": (201.6, 404),      # fast but fidelity-degraded
+        "xla-mixed-bf16": (199.2, 479),    # matches f32 fidelity
+    }
+    assert bench.pick_headline(results) == "xla-mixed-bf16"
+    # when the fast config also matches fidelity, it wins outright
+    results["xla-bfloat16"] = (201.6, 475)
+    assert bench.pick_headline(results) == "xla-bfloat16"
+    # no f32 reference measured -> plain fastest
+    del results["xla-float32"]
+    results["xla-bfloat16"] = (201.6, 404)
+    assert bench.pick_headline(results) == "xla-bfloat16"

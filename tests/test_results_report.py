@@ -77,3 +77,39 @@ def test_collect_includes_nested_chase_archives(tmp_path):
 
 def test_main_errors_on_empty_dir(tmp_path):
     assert results_report.main(["--results-dir", str(tmp_path)]) == 1
+
+
+def test_superseded_rows_flagged_and_excluded_from_plot(tmp_path):
+    """Historical rows carry superseded_by (from their README marker) and
+    drop out of the plot series; current rows don't (round-2 VERDICT #7)."""
+    for name, readme in [
+        ("old_v5e", "# old\n\nsuperseded-by: new_v5e — pre-fix run\n"),
+        ("new_v5e", "# new\n"),
+    ]:
+        d = tmp_path / name
+        d.mkdir()
+        (d / "README.md").write_text(readme)
+        (d / "ks_summary.json").write_text(json.dumps({
+            "run_path": "/tmp/x/runs/egnn_mc/2026-01-01_00-00-00__t",
+            "num_checkpoints": 1, "best_checkpoint": 10,
+            "best_combined_pvalue": 1e-4,
+            "first_checkpoint_p_ge_0.05": None,
+            "results": [{"checkpoint": 10, "combined_pvalue": 1e-4}],
+        }))
+    rows, series = results_report.collect(str(tmp_path))
+    by_folder = {r["folder"]: r for r in rows}
+    assert by_folder["old_v5e"]["superseded_by"] == "new_v5e"
+    assert by_folder["new_v5e"]["superseded_by"] == ""
+    assert list(series) == ["egnn_mc (new_v5e)"]
+
+
+def test_committed_archives_mark_known_stale_rows():
+    rows, _ = results_report.collect(os.path.join(REPO, "docs", "results"))
+    by_folder = {r["folder"]: r for r in rows}
+    # the three pre-fix rows round-2's VERDICT called out
+    assert by_folder["equiformer_v2_v5e"]["superseded_by"] == "equiformer_v2_s7_v5e"
+    assert by_folder["ponita_v5e_400ep"]["superseded_by"] == "ponita_v5e_800ep"
+    assert by_folder["cgenn_v5e_rerun"]["superseded_by"] == "cgenn_harden_A"
+    # and their successors are current
+    for cur in ("equiformer_v2_s7_v5e", "ponita_v5e_800ep", "cgenn_harden_A"):
+        assert by_folder[cur]["superseded_by"] == ""
