@@ -59,12 +59,16 @@ class _EGNNBlock(nn.Module):
     use_pallas: bool = False
     pallas_tile: int = 32
     fc_fast: bool = False
+    streaming: bool = False
+    stream_tile_j: int = 128
 
     @nn.compact
     def __call__(self, carry, velocity, edge_attr, mask):
         """carry = (h [B,N,H], coord [B,N,3]); velocity [B,N,3];
-        edge_attr [B,N,N,E]; mask [B,N,N].  (carry, out) form for nn.scan —
-        one compiled layer body for any depth."""
+        edge_attr [B,N,N,E] — or, under ``streaming``, the O(N) tuple
+        ``(pos0 [B,N,3], mass [B,N,1])`` the kernel featurizes from;
+        mask [B,N,N].  (carry, out) form for nn.scan — one compiled layer
+        body for any depth."""
         h, coord = carry
         act = get_activation(self.activation)
         H = h.shape[-1]
@@ -90,13 +94,6 @@ class _EGNNBlock(nn.Module):
         W1d, b1d, W2d, b2d = (p.astype(dtype) for p in (W1, b1, W2, b2))
         Wc1d, bc1d, wc2d = (p.astype(dtype) for p in (Wc1, bc1, wc2))
 
-        # --- coord2radial (egnn_mc.py:155-164): receiver-minus-sender diffs.
-        coord_diff = G.rel_positions(coord)  # [B,N,N,3]
-        radial = jnp.sum(coord_diff * coord_diff, axis=-1, keepdims=True)
-        if self.norm_diff:
-            norm = jnp.clip(G.safe_sqrt(radial), 1.0, None)
-            coord_diff = coord_diff / norm
-
         # The edge MLP's first matmul is decomposed over the concat
         # ``[h_i, h_j, d^2, edge_attr] @ W1`` into per-node projections plus a
         # 5-feature geometric term — algebraically identical (summation
@@ -104,6 +101,30 @@ class _EGNNBlock(nn.Module):
         # tensor, the dominant HBM term of the naive dense formulation.
         hA = h @ W1d[:H] + b1d  # receiver term  [B,N,He]
         hB = h @ W1d[H : 2 * H]  # sender term    [B,N,He]
+
+        if self.streaming:
+            # Flash-style sender-tile kernel: geometry (incl. coord2radial
+            # and the dataloader edge attrs) is computed in-kernel from the
+            # O(N) node tuple, so no [B,N,N,*] tensor exists in HBM at all —
+            # the big-N path (ops/pallas/egnn_stream.py).
+            from ..ops.pallas.egnn_stream import streaming_egnn_messages
+
+            pos0, mass0 = edge_attr
+            agg, trans_mean = streaming_egnn_messages(
+                hA, hB, pos0, velocity, mass0, coord, mask,
+                W1d[2 * H :], W2d, b2d, Wc1d, bc1d, wc2d[:, 0],
+                tanh=self.tanh, norm_diff=self.norm_diff,
+                tile_i=self.pallas_tile, tile_j=self.stream_tile_j,
+            )
+            coord = coord + trans_mean.astype(coord.dtype) * self.coords_weight
+            return self._finish(h, coord, velocity, agg)
+
+        # --- coord2radial (egnn_mc.py:155-164): receiver-minus-sender diffs.
+        coord_diff = G.rel_positions(coord)  # [B,N,N,3]
+        radial = jnp.sum(coord_diff * coord_diff, axis=-1, keepdims=True)
+        if self.norm_diff:
+            norm = jnp.clip(G.safe_sqrt(radial), 1.0, None)
+            coord_diff = coord_diff / norm
 
         if self.use_pallas:
             from ..ops.pallas.egnn_messages import fused_egnn_messages
@@ -160,6 +181,12 @@ class _EGNNBlock(nn.Module):
                 )
                 agg = G.masked_segment_mean(m_ij, mask)  # [B,N,He]
 
+        return self._finish(h, coord, velocity, agg)
+
+    def _finish(self, h, coord, velocity, agg):
+        """Velocity-gated coord update + node model — shared by the dense,
+        fused-pallas and streaming edge stages (same submodule creation
+        order, so all paths share one param tree)."""
         # --- velocity-gated coord update (egnn_mc.py:178-183).
         w_vel = MLP(
             hidden=[self.hidden_coord_dim], out=1, activation=self.activation
@@ -197,6 +224,10 @@ class EGNNMC(nn.Module):
     num_targets: int = 2
     use_pallas: bool = False  # fused message kernel (TPU, silu only)
     pallas_tile: int = 32  # receiver rows per kernel program
+    streaming: bool = False  # sender-tile streaming kernel (TPU, silu
+    # only): per-edge geometry/featurization computed in-kernel, no
+    # [B,N,N,*] HBM tensors — the big-N path (ops/pallas/egnn_stream.py)
+    stream_tile_j: int = 128  # sender columns per kernel program
     fc_fast: bool = False  # fully-connected graphs only: drop the two
     # [B,N,N,He] mask-multiply VPU passes (exact for FC masks; see
     # _EGNNBlock).  The caller must guarantee the mask is fully connected
@@ -228,7 +259,14 @@ class EGNNMC(nn.Module):
 
     @nn.compact
     def __call__(self, scene: Scene, mask, train: bool = False):
-        x, edge_attr = self.featurize(scene, mask)
+        if self.streaming:
+            # the [B,N,N,4] edge attrs are featurized INSIDE the kernel from
+            # this O(N) tuple (egnn_stream.py keeps dataloader parity)
+            speed = jnp.linalg.norm(scene.vel, axis=-1, keepdims=True)
+            x = jnp.concatenate([speed, scene.mass], axis=-1)
+            edge_attr = (scene.pos, scene.mass)
+        else:
+            x, edge_attr = self.featurize(scene, mask)
         h = TorchLinear(self.hidden_node_dim)(x)
         if self.compute_dtype:
             h = h.astype(jnp.dtype(self.compute_dtype))
@@ -254,6 +292,8 @@ class EGNNMC(nn.Module):
             use_pallas=self.use_pallas,
             pallas_tile=self.pallas_tile,
             fc_fast=self.fc_fast,
+            streaming=self.streaming,
+            stream_tile_j=self.stream_tile_j,
             # pinned so remat=True/False share one param tree
             name="Scan_EGNNBlock_0",
         )

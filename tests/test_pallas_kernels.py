@@ -159,3 +159,72 @@ def test_fused_egnn_messages_padding_path(monkeypatch):
         np.asarray(m_ref.apply(params, scene, mask)),
         atol=1e-5,
     )
+
+
+def test_streaming_egnn_matches_dense(monkeypatch):
+    """v3 streaming kernel (ops/pallas/egnn_stream.py): sender-tile
+    accumulation + in-kernel featurization must be exact vs the dense path,
+    sharing one param tree."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas import (
+        egnn_stream as ES,
+    )
+
+    monkeypatch.setattr(
+        ES, "streaming_egnn_messages",
+        functools.partial(ES.streaming_egnn_messages, interpret=True),
+    )
+    B, N = 2, 20
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32),
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (B, N, 1), jnp.float32))
+        + 0.5,
+    )
+    kw = dict(num_layers=2, hidden_node_dim=32, hidden_edge_dim=32,
+              hidden_coord_dim=32)
+    m_ref = create_model("egnn_mc", **kw)
+    # tile sizes that do NOT divide N exercise both paddings; multiple
+    # sender tiles exercise the accumulation across j
+    m_str = create_model("egnn_mc", streaming=True, pallas_tile=8,
+                         stream_tile_j=8, **kw)
+    mask = G.knn_mask(scene.pos, N - 1)
+    params = m_ref.init(jax.random.PRNGKey(2), scene, mask)
+    np.testing.assert_allclose(
+        np.asarray(m_str.apply(params, scene, mask)),
+        np.asarray(m_ref.apply(params, scene, mask)),
+        atol=1e-5,
+    )
+    # non-trivial knn mask: masked means must accumulate correct counts
+    mask_k = G.knn_mask(scene.pos, 5)
+    np.testing.assert_allclose(
+        np.asarray(m_str.apply(params, scene, mask_k)),
+        np.asarray(m_ref.apply(params, scene, mask_k)),
+        atol=1e-5,
+    )
+
+
+def test_streaming_egnn_bf16_trans_stays_f32():
+    """Mixed-precision streaming: trans feeds the f32 coordinate update."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas import (
+        egnn_stream as ES,
+    )
+
+    B, N, He, Hc = 1, 16, 16, 16
+    ks = jax.random.split(jax.random.PRNGKey(0), 12)
+    mkb = lambda i, s: (jax.random.normal(ks[i], s, jnp.float32) * 0.2).astype(
+        jnp.bfloat16
+    )
+    mkf = lambda i, s: jax.random.normal(ks[i], s, jnp.float32) * 0.2
+    mask = jnp.ones((B, N, N), bool) & ~jnp.eye(N, dtype=bool)
+    agg, trans = ES.streaming_egnn_messages(
+        mkb(0, (B, N, He)), mkb(1, (B, N, He)),
+        mkf(2, (B, N, 3)), mkf(3, (B, N, 3)),
+        jnp.ones((B, N, 1), jnp.float32), mkf(4, (B, N, 3)), mask,
+        mkb(5, (5, He)), mkb(6, (He, He)), mkb(7, (He,)),
+        mkb(8, (He, Hc)), mkb(9, (Hc,)), mkb(10, (Hc,)),
+        interpret=True, tile_i=8, tile_j=8,
+    )
+    assert agg.dtype == jnp.bfloat16
+    assert trans.dtype == jnp.float32
+    assert np.isfinite(np.asarray(trans)).all()
