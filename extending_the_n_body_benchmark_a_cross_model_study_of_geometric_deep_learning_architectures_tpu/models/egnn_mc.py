@@ -61,6 +61,7 @@ class _EGNNBlock(nn.Module):
     fc_fast: bool = False
     streaming: bool = False
     stream_tile_j: int = 128
+    body_ring: bool = False
 
     @nn.compact
     def __call__(self, carry, velocity, edge_attr, mask):
@@ -101,6 +102,22 @@ class _EGNNBlock(nn.Module):
         # tensor, the dominant HBM term of the naive dense formulation.
         hA = h @ W1d[:H] + b1d  # receiver term  [B,N,He]
         hB = h @ W1d[H : 2 * H]  # sender term    [B,N,He]
+
+        if self.body_ring:
+            # Body-sharded ring message pass (must be traced inside
+            # shard_map over the body mesh axis): every [B,N,N,*] edge
+            # tensor partitions into [B,N/D,N/D,*] per-device blocks —
+            # parallel/ring_egnn.py, the big-N MULTI-chip path.
+            from ..parallel.ring_egnn import ring_edge_stage
+
+            pos0, mass0 = edge_attr
+            agg, trans_mean = ring_edge_stage(
+                hA, hB, pos0, velocity, mass0, coord,
+                W1d[2 * H :], W2d, b2d, Wc1d, bc1d, wc2d[:, 0],
+                tanh=self.tanh, norm_diff=self.norm_diff,
+            )
+            coord = coord + trans_mean.astype(coord.dtype) * self.coords_weight
+            return self._finish(h, coord, velocity, agg)
 
         if self.streaming:
             # Flash-style sender-tile kernel: geometry (incl. coord2radial
@@ -228,6 +245,9 @@ class EGNNMC(nn.Module):
     # only): per-edge geometry/featurization computed in-kernel, no
     # [B,N,N,*] HBM tensors — the big-N path (ops/pallas/egnn_stream.py)
     stream_tile_j: int = 128  # sender columns per kernel program
+    body_ring: bool = False  # body-sharded ring message pass (FC graphs;
+    # apply() must run inside shard_map over the body mesh axis — see
+    # parallel.sharded.make_body_ring_rollout_fn)
     fc_fast: bool = False  # fully-connected graphs only: drop the two
     # [B,N,N,He] mask-multiply VPU passes (exact for FC masks; see
     # _EGNNBlock).  The caller must guarantee the mask is fully connected
@@ -259,9 +279,10 @@ class EGNNMC(nn.Module):
 
     @nn.compact
     def __call__(self, scene: Scene, mask, train: bool = False):
-        if self.streaming:
-            # the [B,N,N,4] edge attrs are featurized INSIDE the kernel from
-            # this O(N) tuple (egnn_stream.py keeps dataloader parity)
+        if self.streaming or self.body_ring:
+            # the [B,N,N,4] edge attrs are featurized INSIDE the edge stage
+            # from this O(N) tuple (egnn_stream.py / ring_egnn.py keep
+            # dataloader parity)
             speed = jnp.linalg.norm(scene.vel, axis=-1, keepdims=True)
             x = jnp.concatenate([speed, scene.mass], axis=-1)
             edge_attr = (scene.pos, scene.mass)
@@ -294,6 +315,7 @@ class EGNNMC(nn.Module):
             fc_fast=self.fc_fast,
             streaming=self.streaming,
             stream_tile_j=self.stream_tile_j,
+            body_ring=self.body_ring,
             # pinned so remat=True/False share one param tree
             name="Scan_EGNNBlock_0",
         )

@@ -107,6 +107,81 @@ def sharded_datagen(
     return loc, vel, force, mass
 
 
+def make_body_ring_rollout_fn(
+    model,
+    num_steps: int,
+    mesh: Mesh,
+    target: str = "pos_dt+vel",
+    explosion_threshold: float = 1e9,
+):
+    """Self-feed rollout with the BODY axis sharded over the mesh — the
+    big-N path (SURVEY §5.7): every ``[B, N, N, ·]`` edge tensor lives as
+    ``[B, N/D, N/D, ·]`` per-device blocks via the ring message pass
+    (``parallel/ring_egnn.py``), so peak memory scales O(N²/D²) and N can
+    grow past a single chip's dense limit.
+
+    ``model`` must be an EGNN-MC with ``body_ring=True`` (fully-connected
+    graphs, the reference rollout default).  Semantics mirror
+    ``rollout.self_feed.make_rollout_fn``: explosion freeze (the reference's
+    ``self_feed.py:26-39`` restart redesign) with the per-sim divergence
+    test reduced globally over body shards, ``survived`` counts per sim.
+
+    Returns ``fn(params, scene0) -> (loc [B,T,N,3], vel [B,T,N,3],
+    survived [B])`` with loc/vel body-sharded on their last-but-one axis.
+    """
+    from jax.sharding import PartitionSpec as P
+
+    from ..core.targets import decode_next_state
+    from .mesh import BODY_AXIS
+
+    def local_rollout(params, pos0, vel0, force0, mass):
+        zero_force = jnp.zeros_like(pos0)
+
+        def step(carry, _):
+            pos, vel, force, frozen = carry
+            scene = Scene(pos=pos, vel=vel, force=force, mass=mass)
+            out = model.apply(params, scene, None)  # mask unused: FC ring
+            new_pos, new_vel = decode_next_state(out, pos, vel, target)
+            bad_local = jnp.any(
+                (jnp.abs(new_pos) > explosion_threshold)
+                | ~jnp.isfinite(new_pos)
+                | ~jnp.isfinite(new_vel),
+                axis=(1, 2),
+            )
+            # a sim diverges if ANY of its body shards did
+            bad = jax.lax.psum(bad_local.astype(jnp.int32), BODY_AXIS) > 0
+            frozen = frozen | bad
+            keep = frozen[:, None, None]
+            new_pos = jnp.where(keep, pos, new_pos)
+            new_vel = jnp.where(keep, vel, new_vel)
+            return (new_pos, new_vel, zero_force, frozen), (
+                new_pos, new_vel, frozen,
+            )
+
+        frozen0 = jnp.zeros(pos0.shape[0], dtype=bool)
+        _, (locs, vels, frozens) = jax.lax.scan(
+            step, (pos0, vel0, force0, frozen0), None, length=num_steps - 1
+        )
+        loc = jnp.concatenate([pos0[None], locs], axis=0).swapaxes(0, 1)
+        vel = jnp.concatenate([vel0[None], vels], axis=0).swapaxes(0, 1)
+        survived = jnp.sum(~frozens, axis=0).astype(jnp.int32)  # [B]
+        return loc, vel, survived
+
+    body = P(None, BODY_AXIS)  # [B, N, ...] -> bodies over the ring
+    fn = jax.shard_map(
+        local_rollout,
+        mesh=mesh,
+        in_specs=(P(), body, body, body, body),
+        out_specs=(P(None, None, BODY_AXIS), P(None, None, BODY_AXIS), P()),
+        check_vma=False,  # params replicated; survived identical on shards
+    )
+    return jax.jit(
+        lambda params, scene0: fn(
+            params, scene0.pos, scene0.vel, scene0.force, scene0.mass
+        )
+    )
+
+
 def make_sharded_rollout_fn(
     model,
     num_steps: int,

@@ -95,6 +95,41 @@ def main():
                         flush=True,
                     )
 
+    # v3 streaming kernel (egnn_stream.py): NOTE it does strictly MORE work
+    # than the rows above — per-edge geometry + dataloader featurization run
+    # in-kernel from O(N) node data, while xla/v1/v2 receive the [B,N,N,8]
+    # geometry tensor precomputed (and untimed).
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas.egnn_stream import (
+        streaming_egnn_messages,
+    )
+
+    pos0 = mk(9, (B, N, 3), 1.0)
+    vel = mk(10, (B, N, 3), 0.3)
+    coordc = pos0 + mk(11, (B, N, 3), 0.05)
+    massk = jnp.ones((B, N, 1), jnp.float32)
+    for dtype, dn in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
+        for ti in tiles:
+            for tj in (104, 128, 256):
+                try:
+                    ms = bench(
+                        streaming_egnn_messages,
+                        hA.astype(dtype), hB.astype(dtype),
+                        pos0, vel, massk, coordc, mask,
+                        w_geom.astype(dtype), W2.astype(dtype), b2.astype(dtype),
+                        Wc1.astype(dtype), bc1.astype(dtype), wc2.astype(dtype),
+                        tanh=True, norm_diff=True, tile_i=ti, tile_j=tj,
+                    )
+                    print(
+                        f"pallas v3 {dn} ti{ti:3d} tj{tj:3d}: {ms:7.2f} "
+                        "ms/layer-call (incl. in-kernel featurize)",
+                        flush=True,
+                    )
+                except Exception as e:
+                    print(
+                        f"pallas v3 {dn} ti{ti} tj{tj}: FAILED {str(e)[:120]}",
+                        flush=True,
+                    )
+
 
 if __name__ == "__main__":
     main()

@@ -262,3 +262,41 @@ def test_dryrun_multichip_bootstraps_virtual_devices():
     )
     assert out.returncode == 0, out.stderr[-2000:]
     assert "dryrun_multichip OK" in out.stdout
+
+
+def test_body_ring_rollout_matches_dense():
+    """The body-sharded ring MODEL rollout (parallel/ring_egnn.py +
+    make_body_ring_rollout_fn) must be exact vs the dense single-device
+    rollout on the 8-device virtual mesh — SURVEY §5.7's big-N path run
+    end-to-end, not just the force-pass unit (round-2 VERDICT #5)."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
+        create_model,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.parallel.sharded import (
+        make_body_ring_rollout_fn,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.rollout.self_feed import (
+        make_rollout_fn,
+    )
+
+    B, N, T = 2, 16, 12
+    mesh = make_mesh(8, body_parallel=8)
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32) * 0.1,
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.abs(jax.random.normal(jax.random.PRNGKey(3), (B, N, 1), jnp.float32))
+        + 0.5,
+    )
+    kw = dict(num_layers=2, hidden_node_dim=32, hidden_edge_dim=32,
+              hidden_coord_dim=32)
+    m_ref = create_model("egnn_mc", **kw)
+    m_ring = create_model("egnn_mc", body_ring=True, **kw)
+    mask = G.knn_mask(scene.pos, N - 1)
+    params = m_ref.init(jax.random.PRNGKey(2), scene, mask)
+
+    loc_r, vel_r, sv_r = make_rollout_fn(m_ref, T, None)(params, scene)
+    loc_g, vel_g, sv_g = make_body_ring_rollout_fn(m_ring, T, mesh)(params, scene)
+    np.testing.assert_allclose(np.asarray(loc_g), np.asarray(loc_r), atol=2e-4)
+    np.testing.assert_allclose(np.asarray(vel_g), np.asarray(vel_r), atol=2e-4)
+    np.testing.assert_array_equal(np.asarray(sv_g), np.asarray(sv_r))
