@@ -174,6 +174,49 @@ def main() -> None:
         "the counter would be blind"
     )
 
+    # Big-N axis (SURVEY §5.7): the body-sharded ring MODEL rollout
+    # (parallel/ring_egnn.py via make_body_ring_rollout_fn) must compile
+    # and execute at every body-mesh size, with its communication exactly
+    # the ring's collective-permutes — exactness vs the dense rollout is
+    # covered by tests/test_parallel.py::test_body_ring_rollout_matches_dense.
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.parallel.sharded import (
+        make_body_ring_rollout_fn,
+    )
+
+    ring_model = create_model("egnn_mc", body_ring=True)
+    ring_rows = []
+    for n in (2, 4, 8):
+        meshb = make_mesh(n_devices=n, body_parallel=n, devices=devices[:n])
+        nb = 8 * n  # bodies divisible by the ring size
+        sc = Scene(
+            pos=jax.random.normal(jax.random.PRNGKey(4), (2, nb, 3), jnp.float32),
+            vel=0.1 * jax.random.normal(jax.random.PRNGKey(5), (2, nb, 3)),
+            force=jnp.zeros((2, nb, 3), jnp.float32),
+            mass=jnp.ones((2, nb, 1), jnp.float32),
+        )
+        params_r = model.init(
+            jax.random.PRNGKey(6), sc, G.knn_mask(sc.pos, nb - 1)
+        )
+        fnr = make_body_ring_rollout_fn(ring_model, 10, meshb)
+        hlor = fnr.lower(params_r, sc).compile().as_text()
+        countsr = count_collectives(hlor)
+        locr, velr, svr = jax.block_until_ready(fnr(params_r, sc))
+        okr = bool(jnp.isfinite(locr).all())
+        ring_rows.append(
+            {
+                "devices": n,
+                "n_bodies": nb,
+                "bodies_per_device": nb // n,
+                "collectives_in_optimized_hlo": countsr,
+                "executed_ok": okr,
+            }
+        )
+        print(f"ring rollout n={n}: N={nb} collectives={countsr} ok={okr}")
+        assert countsr.get("collective-permute", 0) > 0, (
+            "body-ring rollout compiled without collective-permutes — the "
+            "ring is not actually rotating blocks"
+        )
+
     rollout_clean = all(not r["collectives_in_optimized_hlo"] for r in rows)
     payload = {
         "workload": {
@@ -184,6 +227,7 @@ def main() -> None:
         },
         "rollout_mesh_rows": rows,
         "ring_positive_control": ring_counts,
+        "body_ring_rollout_rows": ring_rows,
         "rollout_collective_free": rollout_clean,
         "conclusion": (
             "sim-sharded rollout compiles to zero per-step cross-device "
@@ -219,6 +263,25 @@ def main() -> None:
             f"`{ring_counts}` — the counter detects communication when it "
             f"exists.\n\n"
         )
+        f.write("## Big-N axis: body-sharded ring MODEL rollout\n\n")
+        f.write(
+            "The full self-feed rollout with the model's message pass on a "
+            "body ring (`parallel/ring_egnn.py`): every `[B,N,N,·]` edge "
+            "tensor lives as `[B,N/D,N/D,·]` per-device blocks (peak memory "
+            "O(N²/D²)); the only communication is the ring's "
+            "collective-permutes.  Exactness vs the dense rollout: "
+            "`tests/test_parallel.py::test_body_ring_rollout_matches_dense`.\n\n"
+        )
+        f.write("| devices | N | bodies/device | collectives | executed |\n")
+        f.write("|---|---|---|---|---|\n")
+        for r in ring_rows:
+            f.write(
+                f"| {r['devices']} | {r['n_bodies']} | "
+                f"{r['bodies_per_device']} | "
+                f"{r['collectives_in_optimized_hlo']} | "
+                f"{'ok' if r['executed_ok'] else 'FAIL'} |\n"
+            )
+        f.write("\n")
         f.write(
             "**Conclusion:** the `sim`-axis rollout partition introduces no "
             "per-step communication, so each chip runs the single-chip "
