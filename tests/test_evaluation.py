@@ -195,8 +195,10 @@ def test_run_study_time_matched(tmp_run_dir):
     store = tmp_run_dir / "hpo" / "egnn_mc_time_matched_trials.jsonl"
     records = [json.loads(l) for l in open(store)]
     assert len(records) == 1 and records[0]["status"] == "done"
-    # no width bisection in time_matched mode
-    assert records[0]["n_params"] is None
+    # no width bisection in time_matched mode, but the param count is still
+    # recorded (best-effort, 0c0b92e): every trial carries n_params so the
+    # budget audit works across modes (reference hpo.py:609-617)
+    assert records[0]["n_params"] and records[0]["n_params"] > 0
     # runtime telemetry (reference hpo.py:435-462 steps_per_min/peak_vram_mb)
     assert records[0]["steps_per_min"] > 0
     # stopped after 1 epoch, but the break ran a final eval: checkpoint 1
