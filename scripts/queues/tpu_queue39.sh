@@ -68,7 +68,7 @@ cgenn_run() {  # $1=tag $2=layers $3=hidden $4=deadline_hours
   touch "$wd/.sidecar_stop"; wait "$sidecar_pid" 2>/dev/null
 }
 
-gate; cgenn_run L6h176 6 176 4
+gate; cgenn_run L6h176 6 176 "${Q39_PRIMARY_H:-4}"
 if [ "$(left_s)" -gt 12600 ]; then
   gate; cgenn_run L4h224 4 224 3
 fi
