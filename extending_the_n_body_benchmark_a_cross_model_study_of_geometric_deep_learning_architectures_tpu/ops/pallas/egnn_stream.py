@@ -187,7 +187,14 @@ def streaming_egnn_messages(
     B, N, He = hA.shape
     Hc = Wc1.shape[1]
     TI = min(tile_i, ((N + 7) // 8) * 8)
-    TJ = min(tile_j, ((N + 7) // 8) * 8)
+    # TJ is a LANE dimension of the njT/mask blocks: Mosaic requires lane
+    # blocks to be a multiple of 128 or the full (padded) array dimension.
+    # Single j-tile when N fits in tile_j; otherwise round tile_j up to a
+    # 128 multiple and pad the sender axis to a TJ multiple.
+    if N <= tile_j:
+        TJ = ((N + 7) // 8) * 8
+    else:
+        TJ = ((tile_j + 127) // 128) * 128
     pad_i = (-N) % TI
     pad_j = (-N) % TJ
     f32 = jnp.float32
