@@ -126,13 +126,17 @@ def make_body_ring_rollout_fn(
     ``self_feed.py:26-39`` restart redesign) with the per-sim divergence
     test reduced globally over body shards, ``survived`` counts per sim.
 
+    2-D parallelism comes for free: when the mesh has a non-trivial ``sim``
+    axis the batch shards over it (data parallel) while bodies ring over
+    ``body`` — each sim shard runs its own ring on its row of the mesh.
+
     Returns ``fn(params, scene0) -> (loc [B,T,N,3], vel [B,T,N,3],
     survived [B])`` with loc/vel body-sharded on their last-but-one axis.
     """
     from jax.sharding import PartitionSpec as P
 
     from ..core.targets import decode_next_state
-    from .mesh import BODY_AXIS
+    from .mesh import BODY_AXIS, SIM_AXIS
 
     def local_rollout(params, pos0, vel0, force0, mass):
         zero_force = jnp.zeros_like(pos0)
@@ -167,13 +171,18 @@ def make_body_ring_rollout_fn(
         survived = jnp.sum(~frozens, axis=0).astype(jnp.int32)  # [B]
         return loc, vel, survived
 
-    body = P(None, BODY_AXIS)  # [B, N, ...] -> bodies over the ring
+    # [B, N, ...]: sims over the data-parallel axis, bodies over the ring
+    body = P(SIM_AXIS, BODY_AXIS)
     fn = jax.shard_map(
         local_rollout,
         mesh=mesh,
         in_specs=(P(), body, body, body, body),
-        out_specs=(P(None, None, BODY_AXIS), P(None, None, BODY_AXIS), P()),
-        check_vma=False,  # params replicated; survived identical on shards
+        out_specs=(
+            P(SIM_AXIS, None, BODY_AXIS),
+            P(SIM_AXIS, None, BODY_AXIS),
+            P(SIM_AXIS),
+        ),
+        check_vma=False,  # params replicated; frozen identical on body shards
     )
     return jax.jit(
         lambda params, scene0: fn(

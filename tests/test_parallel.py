@@ -300,3 +300,36 @@ def test_body_ring_rollout_matches_dense():
     np.testing.assert_allclose(np.asarray(loc_g), np.asarray(loc_r), atol=2e-4)
     np.testing.assert_allclose(np.asarray(vel_g), np.asarray(vel_r), atol=2e-4)
     np.testing.assert_array_equal(np.asarray(sv_g), np.asarray(sv_r))
+
+
+def test_body_ring_rollout_2d_mesh():
+    """sim x body 2-D parallelism: each sim shard runs its own body ring on
+    its mesh row; exact vs dense at every factorization."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.models import (
+        create_model,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.parallel.sharded import (
+        make_body_ring_rollout_fn,
+    )
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.rollout.self_feed import (
+        make_rollout_fn,
+    )
+
+    B, N, T = 4, 16, 8
+    kw = dict(num_layers=1, hidden_node_dim=16, hidden_edge_dim=16,
+              hidden_coord_dim=16)
+    m_ref = create_model("egnn_mc", **kw)
+    m_ring = create_model("egnn_mc", body_ring=True, **kw)
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32) * 0.1,
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.ones((B, N, 1), jnp.float32),
+    )
+    params = m_ref.init(jax.random.PRNGKey(2), scene, G.knn_mask(scene.pos, N - 1))
+    loc_r, _, sv_r = make_rollout_fn(m_ref, T, None)(params, scene)
+    for body_p in (4, 2):
+        mesh = make_mesh(8, body_parallel=body_p)
+        loc_g, _, sv_g = make_body_ring_rollout_fn(m_ring, T, mesh)(params, scene)
+        np.testing.assert_allclose(np.asarray(loc_g), np.asarray(loc_r), atol=2e-4)
+        np.testing.assert_array_equal(np.asarray(sv_g), np.asarray(sv_r))
