@@ -67,6 +67,7 @@ def _kernel(
     *,
     tanh: bool,
     norm_diff: bool,
+    elem_bf16: bool,
 ):
     j = pl.program_id(2)
     nj = pl.num_programs(2)
@@ -107,6 +108,19 @@ def _kernel(
         inv_norm = 1.0 / jnp.maximum(jnp.sqrt(jnp.maximum(radial, 0.0)), 1.0)
         cd = [c * inv_norm for c in cd]
 
+    # elem_bf16: run the [TI,TJ,He]-sized elementwise stack (the kernel's
+    # dominant VPU volume — two silus + the mask multiply) in bf16 for 2x
+    # VPU packing; matmuls still accumulate f32 on the MXU.  Numerics class
+    # matches the xla-bfloat16 rollout config (messages stored bf16 there).
+    edt = jnp.bfloat16 if elem_bf16 else jnp.float32
+
+    def silu(x):
+        # jax.nn.silu broadcasts an f32 literal into bf16 vectors, which
+        # Mosaic's verifier rejects ('vector.broadcast' element-type
+        # mismatch); spell it with a literal typed like x instead
+        one = jnp.asarray(1.0, x.dtype)
+        return x * (one / (one + jnp.exp(-x)))
+
     # g_term[i,j,:] = Σ_s scal_s[i,j] · Wg[s,:]  (five rank-1 FMAs)
     wg = w_geom_ref[...].astype(jnp.float32)
     scalars = (radial, mass_prod, proj_i, proj_j, d2_0)
@@ -114,23 +128,27 @@ def _kernel(
     for s in range(1, 5):
         g_term += scalars[s][:, :, None] * wg[s][None, None, :]
 
-    m1 = jax.nn.silu(
-        hA[:, None, :].astype(jnp.float32)
-        + hB[None, :, :].astype(jnp.float32)
-        + g_term
+    m1 = silu(
+        (
+            hA[:, None, :].astype(jnp.float32)
+            + hB[None, :, :].astype(jnp.float32)
+            + g_term
+        ).astype(edt)
     )
-    m2 = jax.nn.silu(
-        jnp.dot(
-            m1.reshape(ti * tj, he).astype(op_dtype),
-            W2_ref[...],
-            preferred_element_type=jnp.float32,
-        )
-        + b2_ref[0][None, :].astype(jnp.float32)
-    )  # [TI*TJ, He] f32
+    m2 = silu(
+        (
+            jnp.dot(
+                m1.reshape(ti * tj, he).astype(op_dtype),
+                W2_ref[...],
+                preferred_element_type=jnp.float32,
+            )
+            + b2_ref[0][None, :].astype(jnp.float32)
+        ).astype(edt)
+    )  # [TI*TJ, He]
 
     # masked partial aggregation into scratch
-    m2m = m2.reshape(ti, tj, he) * mask[:, :, None]
-    acc_agg[...] += jnp.sum(m2m, axis=1)
+    m2m = m2.reshape(ti, tj, he) * mask[:, :, None].astype(edt)
+    acc_agg[...] += jnp.sum(m2m.astype(jnp.float32), axis=1)
 
     # per-edge coordinate weight
     w = jax.nn.silu(
@@ -160,7 +178,9 @@ def _kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tanh", "norm_diff", "interpret", "tile_i", "tile_j"),
+    static_argnames=(
+        "tanh", "norm_diff", "interpret", "tile_i", "tile_j", "elem_bf16",
+    ),
 )
 def streaming_egnn_messages(
     hA: jnp.ndarray,  # [B, N, He] = h @ W1a + b1
@@ -181,6 +201,7 @@ def streaming_egnn_messages(
     interpret: bool = False,
     tile_i: int = _DEFAULT_TI,
     tile_j: int = _DEFAULT_TJ,
+    elem_bf16: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Returns ``(agg [B,N,He], trans [B,N,3] f32)`` — masked means over
     senders, accumulated across sender tiles (no O(N²·He) HBM tensors)."""
@@ -216,7 +237,9 @@ def streaming_egnn_messages(
     wc2_col = jnp.zeros((Hc, 8), wc2.dtype).at[:, 0].set(wc2)
 
     grid = (B, Ni // TI, Nj // TJ)
-    kernel = functools.partial(_kernel, tanh=tanh, norm_diff=norm_diff)
+    kernel = functools.partial(
+        _kernel, tanh=tanh, norm_diff=norm_diff, elem_bf16=elem_bf16
+    )
     agg, trans = pl.pallas_call(
         kernel,
         grid=grid,

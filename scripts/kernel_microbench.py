@@ -6,8 +6,15 @@ fast iteration for kernel tuning without the full rollout bench.
 Run on TPU:  python scripts/kernel_microbench.py [tile ...]
 """
 
+import os
 import sys
 import time
+
+# allow `python scripts/kernel_microbench.py` without PYTHONPATH (extend,
+# never overwrite — the image's PYTHONPATH carries the remote-TPU plugin)
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
 
 import jax
 import jax.numpy as jnp
@@ -108,27 +115,35 @@ def main():
     coordc = pos0 + mk(11, (B, N, 3), 0.05)
     massk = jnp.ones((B, N, 1), jnp.float32)
     for dtype, dn in [(jnp.float32, "f32"), (jnp.bfloat16, "bf16")]:
-        for ti in tiles:
-            for tj in (104, 128, 256):
-                try:
-                    ms = bench(
-                        streaming_egnn_messages,
-                        hA.astype(dtype), hB.astype(dtype),
-                        pos0, vel, massk, coordc, mask,
-                        w_geom.astype(dtype), W2.astype(dtype), b2.astype(dtype),
-                        Wc1.astype(dtype), bc1.astype(dtype), wc2.astype(dtype),
-                        tanh=True, norm_diff=True, tile_i=ti, tile_j=tj,
-                    )
-                    print(
-                        f"pallas v3 {dn} ti{ti:3d} tj{tj:3d}: {ms:7.2f} "
-                        "ms/layer-call (incl. in-kernel featurize)",
-                        flush=True,
-                    )
-                except Exception as e:
-                    print(
-                        f"pallas v3 {dn} ti{ti} tj{tj}: FAILED {str(e)[:120]}",
-                        flush=True,
-                    )
+        # ebf: run the [TI,TJ,He] elementwise stack (silus + mask multiply,
+        # the kernel's dominant VPU volume) in bf16 for 2x packing
+        for ebf in (False, True):
+            en = " ebf16" if ebf else ""
+            for ti in tiles:
+                for tj in (104, 128, 256):
+                    try:
+                        ms = bench(
+                            streaming_egnn_messages,
+                            hA.astype(dtype), hB.astype(dtype),
+                            pos0, vel, massk, coordc, mask,
+                            w_geom.astype(dtype), W2.astype(dtype),
+                            b2.astype(dtype), Wc1.astype(dtype),
+                            bc1.astype(dtype), wc2.astype(dtype),
+                            tanh=True, norm_diff=True, tile_i=ti, tile_j=tj,
+                            elem_bf16=ebf,
+                        )
+                        print(
+                            f"pallas v3 {dn}{en} ti{ti:3d} tj{tj:3d}: "
+                            f"{ms:7.2f} ms/layer-call "
+                            "(incl. in-kernel featurize)",
+                            flush=True,
+                        )
+                    except Exception as e:
+                        print(
+                            f"pallas v3 {dn}{en} ti{ti} tj{tj}: "
+                            f"FAILED {str(e)[:120]}",
+                            flush=True,
+                        )
 
 
 if __name__ == "__main__":

@@ -228,3 +228,34 @@ def test_streaming_egnn_bf16_trans_stays_f32():
     assert agg.dtype == jnp.bfloat16
     assert trans.dtype == jnp.float32
     assert np.isfinite(np.asarray(trans)).all()
+
+
+def test_streaming_egnn_elem_bf16_close_to_f32():
+    """elem_bf16: the [TI,TJ,He] elementwise stack (silus + mask multiply)
+    runs in bf16 for 2x VPU packing; result must stay within the bf16
+    rounding class of the f32-elementwise kernel (matmuls f32-accumulated
+    either way)."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas import (
+        egnn_stream as ES,
+    )
+
+    B, N, He, Hc = 2, 24, 32, 32
+    ks = jax.random.split(jax.random.PRNGKey(7), 12)
+    mk = lambda i, s, sc=1.0: jax.random.normal(ks[i], s, jnp.float32) * sc
+    pos0 = mk(2, (B, N, 3))
+    mask = (jax.random.uniform(ks[5], (B, N, N)) > 0.2) & ~jnp.eye(N, dtype=bool)[None]
+    args = (
+        mk(0, (B, N, He)), mk(1, (B, N, He)), pos0, mk(3, (B, N, 3), 0.3),
+        jnp.ones((B, N, 1), jnp.float32), pos0 + mk(4, (B, N, 3), 0.05), mask,
+        mk(6, (5, He), 0.1), mk(7, (He, He), 0.1), mk(8, (He,), 0.1),
+        mk(9, (He, Hc), 0.1), mk(10, (Hc,), 0.1), mk(11, (Hc,), 0.1),
+    )
+    f = functools.partial(
+        ES.streaming_egnn_messages, interpret=True, tile_i=8, tile_j=8
+    )
+    a0, t0 = f(*args, elem_bf16=False)
+    a1, t1 = f(*args, elem_bf16=True)
+    assert a1.dtype == a0.dtype and t1.dtype == jnp.float32
+    rel_a = float(jnp.max(jnp.abs(a1 - a0)) / (jnp.max(jnp.abs(a0)) + 1e-9))
+    rel_t = float(jnp.max(jnp.abs(t1 - t0)) / (jnp.max(jnp.abs(t0)) + 1e-9))
+    assert rel_a < 2e-2 and rel_t < 2e-2, (rel_a, rel_t)
