@@ -210,12 +210,15 @@ def streaming_egnn_messages(
     TI = min(tile_i, ((N + 7) // 8) * 8)
     # TJ is a LANE dimension of the njT/mask blocks: Mosaic requires lane
     # blocks to be a multiple of 128 or the full (padded) array dimension.
-    # Single j-tile when N fits in tile_j; otherwise round tile_j up to a
-    # 128 multiple and pad the sender axis to a TJ multiple.
+    # Single j-tile when N fits in tile_j; otherwise exactly 128: the
+    # kernel keeps ~5 live [TI·TJ, He] f32 intermediates in VMEM (~16 MB
+    # per core), and TJ=256 with TI=32/He=128 crashes the Mosaic compiler
+    # outright (measured on v5e, 2026-08-20 — scripts/stream_compile_probe.py;
+    # TJ=128 compiles through N=1024).
     if N <= tile_j:
         TJ = ((N + 7) // 8) * 8
     else:
-        TJ = ((tile_j + 127) // 128) * 128
+        TJ = 128
     pad_i = (-N) % TI
     pad_j = (-N) % TJ
     f32 = jnp.float32

@@ -74,7 +74,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--tile-i", type=int, default=32)
-    ap.add_argument("--tile-j", type=int, default=256)
+    # tile-j > 128 crashes the Mosaic compiler at this VMEM footprint
+    # (see egnn_stream.py tile clamp; measured 2026-08-20)
+    ap.add_argument("--tile-j", type=int, default=128)
     ap.add_argument("--out", default=os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "docs", "results", "bign"))
