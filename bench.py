@@ -65,6 +65,13 @@ TPU_ROLLOUT_CONFIGS = [
     ("xla-mixed-bf16", False, "float32", None, "bfloat16"),
     ("pallas-mixed-bf16-t32", True, "float32", 32, "bfloat16"),
     ("pallas-bf16-t64", True, "bfloat16", 64, ""),
+    # v3 streaming kernel (in-kernel featurize, no [B,N,N,He] HBM tensors):
+    # the big-N path, also candidate at N=100 since the elem_bf16 mode
+    # halves its VPU volume (ops/pallas/egnn_stream.py)
+    ("stream-mixed-bf16", False, "float32", None, "bfloat16",
+     {"streaming": True}),
+    ("stream-mixed-ebf16", False, "float32", None, "bfloat16",
+     {"streaming": True, "stream_elem_bf16": True}),
     # fc_fast (drop the [B,N,N,He] mask-multiply passes; exact for FC masks)
     # measured a NULL result at this shape — 198.3 vs 201.5 steps/s on
     # 2026-08-19 — XLA already fuses the mask into the reductions for free.

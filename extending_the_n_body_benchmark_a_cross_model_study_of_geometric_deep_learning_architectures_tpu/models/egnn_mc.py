@@ -61,6 +61,7 @@ class _EGNNBlock(nn.Module):
     fc_fast: bool = False
     streaming: bool = False
     stream_tile_j: int = 128
+    stream_elem_bf16: bool = False
     body_ring: bool = False
 
     @nn.compact
@@ -132,6 +133,7 @@ class _EGNNBlock(nn.Module):
                 W1d[2 * H :], W2d, b2d, Wc1d, bc1d, wc2d[:, 0],
                 tanh=self.tanh, norm_diff=self.norm_diff,
                 tile_i=self.pallas_tile, tile_j=self.stream_tile_j,
+                elem_bf16=self.stream_elem_bf16,
             )
             coord = coord + trans_mean.astype(coord.dtype) * self.coords_weight
             return self._finish(h, coord, velocity, agg)
@@ -245,6 +247,8 @@ class EGNNMC(nn.Module):
     # only): per-edge geometry/featurization computed in-kernel, no
     # [B,N,N,*] HBM tensors — the big-N path (ops/pallas/egnn_stream.py)
     stream_tile_j: int = 128  # sender columns per kernel program
+    stream_elem_bf16: bool = False  # streaming kernel's [TI,TJ,He]
+    # elementwise stack (silus + mask multiply) in bf16 for 2x VPU packing
     body_ring: bool = False  # body-sharded ring message pass (FC graphs;
     # apply() must run inside shard_map over the body mesh axis — see
     # parallel.sharded.make_body_ring_rollout_fn)
@@ -315,6 +319,7 @@ class EGNNMC(nn.Module):
             fc_fast=self.fc_fast,
             streaming=self.streaming,
             stream_tile_j=self.stream_tile_j,
+            stream_elem_bf16=self.stream_elem_bf16,
             body_ring=self.body_ring,
             # pinned so remat=True/False share one param tree
             name="Scan_EGNNBlock_0",

@@ -259,3 +259,34 @@ def test_streaming_egnn_elem_bf16_close_to_f32():
     rel_a = float(jnp.max(jnp.abs(a1 - a0)) / (jnp.max(jnp.abs(a0)) + 1e-9))
     rel_t = float(jnp.max(jnp.abs(t1 - t0)) / (jnp.max(jnp.abs(t0)) + 1e-9))
     assert rel_a < 2e-2 and rel_t < 2e-2, (rel_a, rel_t)
+
+
+def test_streaming_model_elem_bf16_plumbing(monkeypatch):
+    """stream_elem_bf16 on the model reaches the kernel and stays within
+    the bf16 rounding class of the dense path at the model level."""
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.ops.pallas import (
+        egnn_stream as ES,
+    )
+
+    monkeypatch.setattr(
+        ES, "streaming_egnn_messages",
+        functools.partial(ES.streaming_egnn_messages, interpret=True),
+    )
+    B, N = 2, 16
+    scene = Scene(
+        pos=jax.random.normal(jax.random.PRNGKey(0), (B, N, 3), jnp.float32),
+        vel=jax.random.normal(jax.random.PRNGKey(1), (B, N, 3), jnp.float32),
+        force=jnp.zeros((B, N, 3), jnp.float32),
+        mass=jnp.ones((B, N, 1), jnp.float32),
+    )
+    kw = dict(num_layers=2, hidden_node_dim=32, hidden_edge_dim=32,
+              hidden_coord_dim=32)
+    m_ref = create_model("egnn_mc", **kw)
+    m_ebf = create_model("egnn_mc", streaming=True, stream_elem_bf16=True,
+                         pallas_tile=8, stream_tile_j=8, **kw)
+    mask = G.knn_mask(scene.pos, N - 1)
+    params = m_ref.init(jax.random.PRNGKey(2), scene, mask)
+    ref = np.asarray(m_ref.apply(params, scene, mask))
+    ebf = np.asarray(m_ebf.apply(params, scene, mask))
+    rel = np.max(np.abs(ebf - ref)) / (np.max(np.abs(ref)) + 1e-9)
+    assert rel < 2e-2, rel
