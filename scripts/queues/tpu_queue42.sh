@@ -29,7 +29,10 @@ mkdir -p "$LOGDIR"
 cd /root/repo
 
 cut_due() {
-  [ -d "$CG_RD/checkpoints/$CUT_EPOCH" ] && return 0
+  # a checkpoint is only scoreable once its self-feed macro artifacts are
+  # written (ks_test reads them) — gate on the LAST artifact of the set,
+  # not the directory (which appears first with just model.ckpt)
+  [ -f "$CG_RD/checkpoints/$CUT_EPOCH/nbody_macro_metrics.json" ] && return 0
   [ "$(date -u +%H:%M)" \> "$CUT_WALL" ] && return 0
   return 1
 }
