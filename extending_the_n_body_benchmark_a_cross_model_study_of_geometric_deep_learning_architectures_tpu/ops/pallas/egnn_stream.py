@@ -121,12 +121,19 @@ def _kernel(
         one = jnp.asarray(1.0, x.dtype)
         return x * (one / (one + jnp.exp(-x)))
 
-    # g_term[i,j,:] = Σ_s scal_s[i,j] · Wg[s,:]  (five rank-1 FMAs)
-    wg = w_geom_ref[...].astype(jnp.float32)
-    scalars = (radial, mass_prod, proj_i, proj_j, d2_0)
-    g_term = scalars[0][:, :, None] * wg[0][None, None, :]
-    for s in range(1, 5):
-        g_term += scalars[s][:, :, None] * wg[s][None, None, :]
+    # g_term[(i,j),:] = Σ_s scal_s[i,j] · Wg[s,:] — one [TI·TJ,8]@[8,He]
+    # MXU matmul (wg is zero-padded to 8 rows by the wrapper) instead of
+    # five full-size rank-1 VPU FMA passes: the scalar stack is only
+    # O(TI·TJ·8) and the broadcast work rides the systolic array.
+    zero = jnp.zeros_like(radial)
+    scal = jnp.stack(
+        (radial, mass_prod, proj_i, proj_j, d2_0, zero, zero, zero),
+        axis=-1,
+    ).reshape(ti * tj, 8)  # [TI*TJ, 8]
+    g_term = jnp.dot(
+        scal, w_geom_ref[...].astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ).reshape(ti, tj, he)
 
     m1 = silu(
         (
