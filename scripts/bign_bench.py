@@ -44,8 +44,12 @@ from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learni
 )
 
 # (N, B): batch shrinks with N to keep the [B,T,N,3] outputs and the dense
-# path's [B,N,N,He] tensors inside HBM at the big end
+# path's [B,N,N,He] tensors inside HBM at the big end.  Override with e.g.
+# BIGN_SHAPES="2048:1,4096:1" for the beyond-dense regime.
 SHAPES = [(256, 16), (512, 8), (1024, 2)]
+if os.environ.get("BIGN_SHAPES"):
+    SHAPES = [tuple(int(x) for x in s.split(":"))
+              for s in os.environ["BIGN_SHAPES"].split(",")]
 KW = dict(num_layers=6, hidden_node_dim=128, hidden_edge_dim=128,
           hidden_coord_dim=128, compute_dtype="bfloat16")
 
@@ -93,9 +97,14 @@ def main():
             graph as G,
         )
 
+        # params are N-independent (shared EGNN block): init on a small
+        # scene so the dense init forward never OOMs in the beyond-dense
+        # regime (N=4096 dense init would allocate [B,N,N,He])
+        init_scene = make_scene(1, min(N, 64))
         params = jax.jit(
-            lambda k, sc: dense.init(k, sc, G.knn_mask(sc.pos, N - 1))
-        )(jax.random.PRNGKey(2), scene)
+            lambda k, sc: dense.init(
+                k, sc, G.knn_mask(sc.pos, min(N, 64) - 1))
+        )(jax.random.PRNGKey(2), init_scene)
         jax.block_until_ready(params)
         for name, model in (("dense-xla", dense), ("streaming-v3", stream)):
             try:
