@@ -11,6 +11,18 @@ WD=/root/repo/runs/r3/cgenn_10m_L6h176
 SIDECAR=/root/repo/scripts/queues/snapshot_sidecar.sh
 DEADLINE=$(( $(date +%s) + 6000 ))
 mkdir -p "$WD"
+# seed from git history when the workdir is empty (runs/ is wiped on
+# machine hand-off) — without this, pipeline.py's continuation_ckpt()
+# returns None on an empty workdir and trains FROM SCRATCH under the
+# _cont run name (advisor finding, round 3)
+if [ -z "$(ls -t "$WD"/runs/*/*/model.ckpt 2>/dev/null | head -1)" ]; then
+  d="$WD/runs/cgenn/$(date -u +%Y-%m-%d_%H-%M-%S)__seeded_from_git"
+  mkdir -p "$d"
+  git -C /root/repo cat-file blob \
+    "5c26349:docs/results/cgenn_10m_L6h176_partial/model.ckpt" > "$d/model.ckpt" \
+    || { echo "[queue43] seed extraction failed"; exit 1; }
+  echo "[queue43] seeded epoch-90 snapshot from git into $d"
+fi
 rm -f "$WD/.sidecar_stop"
 bash "$SIDECAR" watch "$WD" "cgenn_10m_L6h176" 600 "$DEADLINE" >> "$WD/sidecar.log" 2>&1 &
 SIDECAR_PID=$!
