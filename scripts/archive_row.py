@@ -22,6 +22,7 @@ import argparse
 import glob
 import json
 import os
+import re
 import shutil
 import sys
 
@@ -77,6 +78,33 @@ def headline(dest: str):
     return best_run, best_draw
 
 
+def _keep_headline_ckpt(pairs, dest: str, run_ck, draw_f) -> str | None:
+    """Copy the headline checkpoint's params into the archive.
+
+    Round-3 postmortem: `runs/` is wiped on machine hand-offs, so the
+    SEGNN/PONITA/GT-10M headline checkpoints no longer exist anywhere and
+    their second-seed replication batteries (the `cgenn_harden_A` standard)
+    can never run without retraining.  Keeping the one headline
+    ``model.ckpt`` per archived row (~20-120 MB) makes every future row
+    permanently re-batteryable from git alone.
+    """
+    ck = None
+    if draw_f:  # draws_ckptNN.json / draws2_ckptNN.json -> NN
+        m = re.search(r"ckpt(\d+)", draw_f)
+        ck = m.group(1) if m else None
+    if ck is None:
+        ck = run_ck
+    if ck is None:
+        return None
+    for rd, _files in reversed(pairs):  # newest run dir first
+        src = os.path.join(rd, "checkpoints", str(ck), "model.ckpt")
+        if os.path.exists(src):
+            out = os.path.join(dest, f"ckpt_{ck}_model.ckpt")
+            shutil.copy2(src, out)
+            return out
+    return None
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--workdir", required=True)
@@ -85,6 +113,8 @@ def main(argv=None) -> int:
     ap.add_argument("--results-dir",
                     default=os.path.join(REPO, "docs", "results"))
     ap.add_argument("--note", default="")
+    ap.add_argument("--no-keep-ckpt", action="store_true",
+                    help="skip archiving the headline checkpoint params")
     args = ap.parse_args(argv)
 
     pairs = collect(args.workdir)
@@ -109,6 +139,9 @@ def main(argv=None) -> int:
         sources.append(os.path.relpath(rd, args.workdir))
 
     (run_p, run_ck), (draw_p, draw_f) = headline(dest)
+    kept = None
+    if not args.no_keep_ckpt:
+        kept = _keep_headline_ckpt(pairs, dest, run_ck, draw_f)
     with open(os.path.join(dest, "README.md"), "w") as fh:
         fh.write(f"# {args.dest}\n\n")
         if args.note:
@@ -120,10 +153,15 @@ def main(argv=None) -> int:
                      f"@ ckpt {run_ck}\n")
         if draw_f is not None:
             fh.write(f"- best battery draw: **{draw_p:.4g}** ({draw_f})\n")
+        if kept is not None:
+            fh.write(f"- headline checkpoint params kept: "
+                     f"`{os.path.basename(kept)}` (re-batteryable via "
+                     f"`self_feed.py --draws`)\n")
     print(json.dumps({
         "dest": dest, "sources": sources,
         "best_in_run_p": run_p, "best_in_run_ckpt": run_ck,
         "best_battery_p": draw_p, "best_battery_file": draw_f,
+        "kept_ckpt": kept,
     }))
     return 0
 
