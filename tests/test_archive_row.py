@@ -56,6 +56,39 @@ def test_archive_row_flattens_and_reports(tmp_path):
     assert json.loads(r.stdout)["best_battery_p"] == 9e-3
 
 
+def test_archive_row_keeps_headline_ckpt(tmp_path):
+    """The headline checkpoint's params must land in the archive (round-3
+    postmortem: runs/ is wiped on hand-offs, so un-archived checkpoints made
+    second-seed replication batteries impossible for three 10M rows)."""
+    wd = tmp_path / "wd"
+    rd = _mk_run(wd, "2026-01-01_00-00-00__a", 1e-4, 3e-3)
+    ck = rd / "checkpoints" / "50"
+    ck.mkdir(parents=True)
+    (ck / "model.ckpt").write_bytes(b"params-bytes")
+    results = tmp_path / "results"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(wd), "--dest", "rowk",
+         "--results-dir", str(results)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    payload = json.loads(r.stdout)
+    kept = results / "rowk" / "ckpt_50_model.ckpt"
+    assert kept.exists() and kept.read_bytes() == b"params-bytes"
+    assert payload["kept_ckpt"] == str(kept)
+    assert "ckpt_50_model.ckpt" in (results / "rowk" / "README.md").read_text()
+
+    # --no-keep-ckpt opts out
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(wd), "--dest", "rownk",
+         "--results-dir", str(results), "--no-keep-ckpt"],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert json.loads(r.stdout)["kept_ckpt"] is None
+    assert not (results / "rownk" / "ckpt_50_model.ckpt").exists()
+
+
 def test_archive_row_empty_workdir_fails(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
