@@ -17,6 +17,10 @@
 #      the headline metric ("steps/s at N=100 with KS parity") to actual KS
 #      evidence at that shape for the first time.
 #
+# Every step budgets against the hard DEADLINE with a reservation for its
+# successors, so a long queue44 squeezes the big study first, not the
+# never-run modes/shapes.
+#
 # Usage: bash tpu_queue45.sh <pid-to-wait-for> [deadline-epoch-seconds]
 set -u
 PIPE_PID=${1:?usage: tpu_queue45.sh <pid-to-wait-for> [deadline-epoch]}
@@ -42,10 +46,10 @@ done
 
 left() { echo $(( DEADLINE - $(date +%s) )); }
 
-# ---- step 1: param_medium study (budget: up to 120 min, resumable) -------
+# ---- step 1: param_medium study (reserve 90 min for steps 2-4) -----------
 L=$(left)
-if [ "$L" -gt 1200 ]; then
-  B=$(( L - 4500 )); [ "$B" -gt 7200 ] && B=7200; [ "$B" -lt 1200 ] && B=1200
+if [ "$L" -gt 2400 ]; then
+  B=$(( L - 5400 )); [ "$B" -gt 7200 ] && B=7200; [ "$B" -lt 1500 ] && B=1500
   echo "[queue45] step 1: HPO param_medium (egnn_mc, 6x50ep), ${B}s budget $(date)"
   ( cd /root/repo && timeout "$B" \
     python -m "$PKG.hpo.hpo" \
@@ -54,13 +58,15 @@ if [ "$L" -gt 1200 ]; then
       --study_dir "$WROOT/hpo_egnn_medium" \
       >> "$WROOT/hpo_medium.log" 2>&1 )
   echo "[queue45] step 1 rc=$? $(date)"
+else
+  echo "[queue45] step 1 skipped (only ${L}s left)"
 fi
 
-# ---- step 2: time_matched demo (budget: ~30 min) -------------------------
+# ---- step 2: time_matched demo (reserve ~55 min for steps 3-4) -----------
 L=$(left)
-if [ "$L" -gt 900 ]; then
-  B=2100; [ "$B" -gt "$L" ] && B=$(( L - 120 ))
-  echo "[queue45] step 2: HPO time_matched (egnn_mc, 3 trials x 8 min) $(date)"
+if [ "$L" -gt 2100 ]; then
+  B=$(( L - 3300 )); [ "$B" -gt 2100 ] && B=2100; [ "$B" -lt 700 ] && B=700
+  echo "[queue45] step 2: HPO time_matched (egnn_mc, 3 trials x 8 min), ${B}s budget $(date)"
   ( cd /root/repo && timeout "$B" \
     python -m "$PKG.hpo.hpo" \
       --model_type egnn_mc --mode time_matched --trials 3 --trial_minutes 8 \
@@ -68,30 +74,38 @@ if [ "$L" -gt 900 ]; then
       --study_dir "$WROOT/hpo_egnn_timematched" \
       >> "$WROOT/hpo_timematched.log" 2>&1 )
   echo "[queue45] step 2 rc=$? $(date)"
+else
+  echo "[queue45] step 2 skipped (only ${L}s left)"
 fi
 
-# ---- step 3: GT-vs-GT noise floors at N=100 and N=512 --------------------
+# ---- step 3: GT-vs-GT noise floor at N=100 (N=512 only if roomy) ---------
 L=$(left)
-if [ "$L" -gt 600 ]; then
+if [ "$L" -gt 1500 ]; then
   echo "[queue45] step 3: GT-GT metamacros N=100 $(date)"
-  ( cd /root/repo && timeout 1500 \
+  ( cd /root/repo && timeout 1200 \
     python -m "$PKG.evaluation.studies" metamacros \
       --out "$WROOT/gtgt_n100" --num-atoms 100 --batch-size 16 \
       --sim-length 5000 --num-batches 8 \
       >> "$WROOT/gtgt.log" 2>&1 )
   echo "[queue45] N=100 rc=$? $(date)"
-  ( cd /root/repo && timeout 1500 \
+fi
+L=$(left)
+if [ "$L" -gt 3300 ]; then
+  echo "[queue45] step 3b: GT-GT metamacros N=512 $(date)"
+  ( cd /root/repo && timeout 1200 \
     python -m "$PKG.evaluation.studies" metamacros \
       --out "$WROOT/gtgt_n512" --num-atoms 512 --batch-size 8 \
       --sim-length 5000 --num-batches 6 \
       >> "$WROOT/gtgt.log" 2>&1 )
   echo "[queue45] N=512 rc=$? $(date)"
+else
+  echo "[queue45] step 3b deferred (only ${L}s left)"
 fi
 
 # ---- step 4: short-trained egnn_mc AT N=100, scored + battery ------------
 L=$(left)
-if [ "$L" -gt 1500 ]; then
-  B=$(( L - 300 )); [ "$B" -gt 3600 ] && B=3600
+if [ "$L" -gt 1200 ]; then
+  B=$(( L - 600 )); [ "$B" -gt 2700 ] && B=2700
   echo "[queue45] step 4: egnn_mc N=100 training (30 ep), ${B}s budget $(date)"
   WD="$WROOT/egnn_n100"; mkdir -p "$WD"
   ( cd "$WD" && timeout "$B" \
@@ -119,12 +133,14 @@ EOF
 )
     if [ -n "$CK" ] && [ -f "$RD/checkpoints/$CK/model.ckpt" ]; then
       echo "[queue45] step 4 battery at ckpt $CK $(date)"
-      timeout 1800 python /root/repo/self_feed.py --run_dir "$RD" \
+      timeout 1500 python /root/repo/self_feed.py --run_dir "$RD" \
         --checkpoint "checkpoints/$CK/model.ckpt" --draws 6 --seed 281 \
         --out "$RD/draws_ckpt$CK" >> "$WD/battery.log" 2>&1
       echo "[queue45] battery rc=$? $(date)"
     fi
   fi
+else
+  echo "[queue45] step 4 skipped (only ${L}s left)"
 fi
 
 echo "[queue45] ALL DONE $(date) — chip idle"
