@@ -79,8 +79,12 @@ else
 fi
 
 # ---- step 3: GT-vs-GT noise floor at N=100 (N=512 only if roomy) ---------
+# (skipped when the artifact already exists — the N=100 floor is
+# chip-independent and may have been produced on CPU while queue44 trained)
 L=$(left)
-if [ "$L" -gt 1500 ]; then
+if [ -f "$WROOT/gtgt_n100/baseline_metamacros.json" ]; then
+  echo "[queue45] step 3 already done (CPU side-channel)"
+elif [ "$L" -gt 1500 ]; then
   echo "[queue45] step 3: GT-GT metamacros N=100 $(date)"
   ( cd /root/repo && timeout 1200 \
     python -m "$PKG.evaluation.studies" metamacros \
@@ -90,7 +94,9 @@ if [ "$L" -gt 1500 ]; then
   echo "[queue45] N=100 rc=$? $(date)"
 fi
 L=$(left)
-if [ "$L" -gt 3300 ]; then
+if [ -f "$WROOT/gtgt_n512/baseline_metamacros.json" ]; then
+  echo "[queue45] step 3b already done"
+elif [ "$L" -gt 3300 ]; then
   echo "[queue45] step 3b: GT-GT metamacros N=512 $(date)"
   ( cd /root/repo && timeout 1200 \
     python -m "$PKG.evaluation.studies" metamacros \
