@@ -86,7 +86,7 @@ if [ -f "$WROOT/gtgt_n100/baseline_metamacros.json" ]; then
   echo "[queue45] step 3 already done (CPU side-channel)"
 elif [ "$L" -gt 1500 ]; then
   echo "[queue45] step 3: GT-GT metamacros N=100 $(date)"
-  ( cd /root/repo && timeout 1200 \
+  ( cd /root/repo && timeout 1800 \
     python -m "$PKG.evaluation.studies" metamacros \
       --out "$WROOT/gtgt_n100" --num-atoms 100 --batch-size 16 \
       --sim-length 5000 --num-batches 8 \
@@ -98,7 +98,7 @@ if [ -f "$WROOT/gtgt_n512/baseline_metamacros.json" ]; then
   echo "[queue45] step 3b already done"
 elif [ "$L" -gt 3300 ]; then
   echo "[queue45] step 3b: GT-GT metamacros N=512 $(date)"
-  ( cd /root/repo && timeout 1200 \
+  ( cd /root/repo && timeout 2400 \
     python -m "$PKG.evaluation.studies" metamacros \
       --out "$WROOT/gtgt_n512" --num-atoms 512 --batch-size 8 \
       --sim-length 5000 --num-batches 6 \
