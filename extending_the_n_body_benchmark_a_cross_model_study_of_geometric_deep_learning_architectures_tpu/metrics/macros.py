@@ -15,6 +15,7 @@ Kernels:
 
 from __future__ import annotations
 
+import os
 from itertools import combinations
 from typing import Dict, Tuple
 
@@ -184,23 +185,36 @@ def count_group_collisions(
             if iv:
                 stuck_triplets[tri] = iv
 
+        # Last contact step per pair (-1 when never): the cross-contact test
+        # "any of the 6 pair/triplet cross pairs in contact at any step >=
+        # o_start" is exactly max(last_contact over those 6) >= o_start —
+        # O(1) per combination instead of an O(T) scan (the scan made the
+        # macro minutes-per-sim on contact-dense N=100 data; same
+        # restructure as the C++ kernel).
+        any_c = contact.any(axis=0)
+        last_contact = np.where(
+            any_c, num_steps - 1 - np.argmax(contact[::-1], axis=0), -1
+        )
+
         group = 0
         for pair, p_ivs in stuck_pairs.items():
             for tri, t_ivs in stuck_triplets.items():
                 if not set(pair).isdisjoint(tri):
                     continue
-                # Cross-group contact at each step: any pair-body close to any
-                # triplet-body (vectorised over time).
-                cross = np.zeros(num_steps, dtype=bool)
+                max_last = -1
                 for i in pair:
                     for j in tri:
                         key = (i, j) if i < j else (j, i)
-                        cross |= contact[:, pair_idx[key]]
+                        lc = last_contact[pair_idx[key]]
+                        if lc > max_last:
+                            max_last = lc
+                if max_last < 0:
+                    continue
                 for p_start, p_end in p_ivs:
                     for t_start, t_end in t_ivs:
                         o_start = max(p_start, t_start)
                         o_end = min(p_end, t_end)
-                        if o_start <= o_end and cross[o_start:].any():
+                        if o_start <= o_end and o_start <= max_last:
                             group += 1
         counts[s] = group
     return counts
@@ -225,6 +239,26 @@ def compute_all_macros(loc: np.ndarray, vel: np.ndarray) -> Dict[str, np.ndarray
 
     from . import native
 
+    # group_collision_count is Θ(C(N,2)·C(N,3)) BY CONSTRUCTION (the
+    # reference enumerates every disjoint pair×triplet combination,
+    # visualization_utils.py:1455-1610) — designed for N=5 where that is 10
+    # triplets.  At the bench shape N=100 with real gravity data the
+    # contact graph is dense (measured: 23% contact density, 4505/4950
+    # pairs "stuck", ~9 intervals each), so the enumeration is ~4e8 live
+    # combinations per sim and the count saturates — minutes of CPU per
+    # sim for a distribution with no discriminative signal.  Above the
+    # gate (default 32 bodies, env NBX_GROUP_MACRO_MAX_N) the macro is
+    # reported as NaN; every downstream consumer already drops NaN macros
+    # (ks_p returns NaN on empty input, fisher_combine drops NaN/<=0), so
+    # large-N runs are scored on the remaining five-of-six reference
+    # macros.  Documented as a deviation in PARITY.md.
+    n_bodies = loc.shape[2]
+    max_n = int(os.environ.get("NBX_GROUP_MACRO_MAX_N", "32"))
+    if n_bodies <= max_n:
+        group = native.count_group_collisions(loc)
+    else:
+        group = np.full(loc.shape[0], np.nan)
+
     stick, coll = native.count_stickings_and_collisions(loc)
     return {
         "sticking_histogram": stick,
@@ -233,5 +267,5 @@ def compute_all_macros(loc: np.ndarray, vel: np.ndarray) -> Dict[str, np.ndarray
         "sharp_turn_count_30": native.count_sharp_turns(vel, 30),
         "sharp_turn_count_45": native.count_sharp_turns(vel, 45),
         "com_movement": native.max_com_distance(loc),
-        "group_collision_count": native.count_group_collisions(loc),
+        "group_collision_count": group,
     }

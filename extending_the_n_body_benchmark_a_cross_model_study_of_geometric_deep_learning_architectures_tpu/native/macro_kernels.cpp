@@ -246,9 +246,22 @@ void count_group_collisions(const double* loc, int64_t S, int64_t T, int64_t N,
           if (!ivbuf.empty()) trips.push_back({i, j, k, ivbuf});
         }
 
+    // Last contact step per pair (-1 when never in contact).  The original
+    // inner test was "any cross-pair contact at any step >= o_start", i.e.
+    // an O(T) cross/suffix scan per (pair, triplet) combination — at N=100
+    // with contact-dense gravity data (most of C(N,2) x C(N,3) combinations
+    // alive) that scan made the kernel minutes-per-sim.  The test is
+    // exactly equivalent to max(last_contact[q] for the 6 cross pairs q)
+    // >= o_start, which is O(1) per combination after this O(P*T) pass.
+    std::vector<int> last_contact(P, -1);
+    for (int64_t k = 0; k < P; ++k)
+      for (int64_t t = T - 1; t >= 0; --t)
+        if (contact[k * T + t]) {
+          last_contact[k] = static_cast<int>(t);
+          break;
+        }
+
     double group = 0;
-    std::vector<uint8_t> cross(T);
-    std::vector<uint8_t> suffix(T + 1);
     for (int64_t k = 0; k < P; ++k) {
       if (stuck_pairs[k].empty()) continue;
       const int a0 = pi[k], a1 = pj[k];
@@ -256,41 +269,20 @@ void count_group_collisions(const double* loc, int64_t S, int64_t T, int64_t N,
         if (a0 == tr.i || a0 == tr.j || a0 == tr.k || a1 == tr.i ||
             a1 == tr.j || a1 == tr.k)
           continue;  // must be disjoint
-        // cheap overlap pre-test first: most (pair, triplet) combinations
-        // have no overlapping stuck intervals, so the O(T) cross/suffix
-        // scan below would be wasted work for them
-        bool any_overlap = false;
-        for (const auto& pv : stuck_pairs[k]) {
-          for (const auto& tv : tr.ivs) {
-            if ((pv.start > tv.start ? pv.start : tv.start) <=
-                (pv.end < tv.end ? pv.end : tv.end)) {
-              any_overlap = true;
-              break;
-            }
-          }
-          if (any_overlap) break;
-        }
-        if (!any_overlap) continue;
-        // cross contact between any pair body and any triplet body
+        // latest step with any pair-body/triplet-body cross contact
         const int tb[3] = {tr.i, tr.j, tr.k};
-        for (int64_t t = 0; t < T; ++t) {
-          uint8_t any = 0;
-          for (int pb : {a0, a1}) {
-            for (int q = 0; q < 3; ++q)
-              any |= contact[pidx(pb, tb[q]) * T + t];
-            if (any) break;
+        int max_last = -1;
+        for (int pb : {a0, a1})
+          for (int q = 0; q < 3; ++q) {
+            const int lc = last_contact[pidx(pb, tb[q])];
+            if (lc > max_last) max_last = lc;
           }
-          cross[t] = any;
-        }
-        // suffix any: whether cross contact occurs at or after each step
-        suffix[T] = 0;
-        for (int64_t t = T - 1; t >= 0; --t)
-          suffix[t] = cross[t] | suffix[t + 1];
+        if (max_last < 0) continue;
         for (const auto& pv : stuck_pairs[k]) {
           for (const auto& tv : tr.ivs) {
             const int o_start = pv.start > tv.start ? pv.start : tv.start;
             const int o_end = pv.end < tv.end ? pv.end : tv.end;
-            if (o_start <= o_end && suffix[o_start]) group += 1;
+            if (o_start <= o_end && o_start <= max_last) group += 1;
           }
         }
       }

@@ -190,3 +190,36 @@ def test_gt_vs_gt_noise_floor():
     g2 = macros.compute_all_macros(loc2, vel2)
     _, combined = ks.macro_ks_pvalues(g1, g2)
     assert combined > 1e-4
+
+
+def test_group_macro_gated_above_max_n(monkeypatch):
+    """Above the N gate, group_collision_count is NaN (the macro is
+    Θ(C(N,2)·C(N,3)) by reference construction — minutes/sim on dense
+    N=100 data) and the KS pipeline scores the remaining macros: ks_p
+    propagates NaN and fisher_combine drops it."""
+    import numpy as np
+
+    from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.metrics import (
+        ks as KS,
+        macros,
+    )
+
+    rng = np.random.RandomState(0)
+    loc = rng.randn(4, 30, 40, 3) * 5.0
+    vel = rng.randn(4, 30, 40, 3)
+
+    monkeypatch.setenv("NBX_GROUP_MACRO_MAX_N", "32")
+    m = macros.compute_all_macros(loc, vel)  # N=40 > 32 -> gated
+    assert np.isnan(m["group_collision_count"]).all()
+    for k in ("sticking_histogram", "leaving_count", "sharp_turn_count_30"):
+        assert not np.isnan(m[k]).any()
+
+    ps = [KS.ks_p(np.asarray(m[k])[:2], np.asarray(m[k])[2:])
+          for k in KS.SCORED_MACROS]
+    assert any(p != p for p in ps)  # the gated macro contributes NaN
+    combined = KS.fisher_combine(ps)
+    assert combined == combined and 0.0 < combined <= 1.0
+
+    monkeypatch.setenv("NBX_GROUP_MACRO_MAX_N", "64")
+    m2 = macros.compute_all_macros(loc, vel)  # raised gate -> computed
+    assert not np.isnan(m2["group_collision_count"]).any()
