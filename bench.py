@@ -451,12 +451,17 @@ def main() -> None:
     jax.block_until_ready(params)
     log(f"init: {time.time()-t0:.1f}s")
 
+    # BENCH_ONLY=name1,name2 restricts to a subset of configs (iteration
+    # aid; xla-float32 is always kept as the survived-steps reference)
+    only = {s for s in os.environ.get("BENCH_ONLY", "").split(",") if s}
     results = {}
     specs = {"xla-float32": (False, jnp.float32, None, "", None)}
     results["xla-float32"] = measure(False, jnp.float32, params)
     if on_tpu:
         for cfg in TPU_ROLLOUT_CONFIGS:
             name, use_pallas, dtype_name, tile, cdt = cfg[:5]
+            if only and name not in only:
+                continue
             extra = cfg[5] if len(cfg) > 5 else None
             specs[name] = (use_pallas, jnp.dtype(dtype_name), tile, cdt, extra)
             try:
@@ -482,22 +487,46 @@ def main() -> None:
     if "xla-float32" in results:
         payload["survived_min_f32_ref"] = results["xla-float32"][1]
 
-    # MFU of the headline config: XLA's own FLOP count for the compiled
-    # rollout over its measured steady time, against the v5e bf16 MXU peak.
-    # This promotes the BENCH_NOTES ~29%-MXU prose analysis into the driver
-    # artifact.  Cost analysis re-lowers the winning config once (~20-40 s
-    # compile, usually cache-hit); failure is non-fatal.
+    # MFU of the headline config: XLA's FLOP count for ONE model apply
+    # (cost analysis does not multiply through a lax.scan's trip count, so
+    # analysing the whole rollout under-reports by ~500x — measured), times
+    # the rollout's model calls, over the measured steady time, against the
+    # v5e bf16 MXU peak.  The per-apply count omits the O(B*N^2) graph
+    # rebuild + integration adds of the scan body — a <1% undercount at the
+    # headline shape.  Promotes the BENCH_NOTES MXU analysis into the
+    # driver artifact; failure is non-fatal.
     try:
-        steady_s, hook = _ANALYSIS_HOOKS[best_name]
-        ca = hook()
+        steady_s, _ = _ANALYSIS_HOOKS[best_name]
+        use_pallas, dt_, tile, cdt, extra = specs[best_name]
+        kwargs = {}
+        if MODEL == "egnn_mc":
+            kwargs["use_pallas"] = use_pallas
+            if use_pallas and tile is not None:
+                kwargs["pallas_tile"] = tile
+            if cdt:
+                kwargs["compute_dtype"] = cdt
+            kwargs.update(extra or {})
+        m = create_model(MODEL, **kwargs)
+        sc = make_scene(dt_)
+        msk = G.knn_mask(sc.pos, N_BODIES - 1)
+        cast = jax.jit(
+            lambda p: jax.tree_util.tree_map(lambda x: x.astype(dt_), p)
+        )(params)
+        ca = (
+            jax.jit(lambda p, s, k: m.apply(p, s, k))
+            .lower(cast, sc, msk)
+            .compile()
+            .cost_analysis()
+        )
         if isinstance(ca, (list, tuple)):
             ca = ca[0]
-        flops = float(ca.get("flops", 0.0))
+        flops_apply = float(ca.get("flops", 0.0))
+        flops = flops_apply * (ROLLOUT_STEPS - 1)
         if flops > 0:
             payload["mfu"] = round(flops / steady_s / V5E_BF16_PEAK_FLOPS, 4)
             payload["rollout_tflops"] = round(flops / 1e12, 2)
-            log(f"mfu: {flops/1e12:.1f} TFLOP / {steady_s:.3f}s = "
-                f"{payload['mfu']*100:.1f}% of v5e bf16 peak")
+            log(f"mfu: {flops_apply/1e9:.1f} GFLOP/apply x {ROLLOUT_STEPS-1} "
+                f"/ {steady_s:.3f}s = {payload['mfu']*100:.1f}% of v5e bf16 peak")
     except Exception as e:
         log(f"mfu analysis failed (non-fatal): {e!r}")
 
