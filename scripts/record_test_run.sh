@@ -25,7 +25,14 @@ SUMMARY=$(grep -E '^[0-9]+ (passed|failed)|passed|failed' "$LOG" | tail -1 | hea
 PASSED=$(echo "$SUMMARY" | grep -oE '[0-9]+ passed' | grep -oE '[0-9]+' || echo 0)
 FAILED=$(echo "$SUMMARY" | grep -oE '[0-9]+ failed' | grep -oE '[0-9]+' || echo 0)
 SHA=$(git rev-parse --short HEAD)
-DIRTY=false; git diff --quiet && git diff --cached --quiet || DIRTY=true
+# dirty = uncommitted SOURCE state.  PROGRESS.jsonl is the round driver's
+# heartbeat log, rewritten continuously between commits — it made every
+# long-running tier record dirty:true (round-4: a 270-green full tier at
+# the round-end sha flagged dirty by the heartbeat alone), so it is
+# excluded from the provenance flag.
+DIRTY=false
+git diff --quiet -- . ':(exclude)PROGRESS.jsonl' \
+  && git diff --cached --quiet -- . ':(exclude)PROGRESS.jsonl' || DIRTY=true
 printf '{"sha": "%s", "dirty": %s, "tier": "%s", "passed": %s, "failed": %s, "wall_s": %s, "rc": %s, "summary": "%s", "at": "%s"}\n' \
   "$SHA" "$DIRTY" "$TIER" "${PASSED:-0}" "${FAILED:-0}" "$WALL" "$RC" \
   "$SUMMARY" "$(date -u +%FT%TZ)" >> docs/results/test_runs.jsonl
