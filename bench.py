@@ -279,10 +279,10 @@ def measure(
         f"{name}: compile+1st {compile_s:.1f}s, steady {dt:.3f}s "
         f"-> {sps:.1f} steps/s (survived min {smin})"
     )
-    _ANALYSIS_HOOKS[name] = (
-        dt,
-        lambda: fn.lower(cast, scene0).compile().cost_analysis(),
-    )
+    # only the steady time is consumed downstream (the MFU path re-lowers a
+    # single apply itself); storing a cost-analysis thunk here pinned the
+    # compiled executable + device buffers for the whole run (ADVICE round-4)
+    _ANALYSIS_HOOKS[name] = dt
     return sps, smin
 
 
@@ -486,6 +486,11 @@ def main() -> None:
     }
     if "xla-float32" in results:
         payload["survived_min_f32_ref"] = results["xla-float32"][1]
+    if only:
+        # a BENCH_ONLY-restricted run must be auditable in the payload and
+        # the last-good cache, not silently replace a full-sweep headline
+        # (ADVICE round-4)
+        payload["bench_only"] = sorted(only)
 
     # MFU of the headline config: XLA's FLOP count for ONE model apply
     # (cost analysis does not multiply through a lax.scan's trip count, so
@@ -494,9 +499,13 @@ def main() -> None:
     # v5e bf16 MXU peak.  The per-apply count omits the O(B*N^2) graph
     # rebuild + integration adds of the scan body — a <1% undercount at the
     # headline shape.  Promotes the BENCH_NOTES MXU analysis into the
-    # driver artifact; failure is non-fatal.
+    # driver artifact; failure is non-fatal.  TPU-only: the ratio is
+    # against the v5e peak, so a CPU run would emit a meaningless number
+    # into the payload + cache (ADVICE round-4).
     try:
-        steady_s, _ = _ANALYSIS_HOOKS[best_name]
+        if not on_tpu:
+            raise RuntimeError("mfu is only meaningful on the TPU backend")
+        steady_s = _ANALYSIS_HOOKS[best_name]
         use_pallas, dt_, tile, cdt, extra = specs[best_name]
         kwargs = {}
         if MODEL == "egnn_mc":

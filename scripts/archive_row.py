@@ -52,8 +52,11 @@ def collect(workdir: str):
 
 
 def headline(dest: str):
-    """(best in-run p/ckpt, best battery p/file) across archived files."""
-    best_run = (-1.0, None)
+    """(best in-run p/ckpt/file, best battery p/file) across archived
+    files.  Each tuple carries the archived FILE the headline came from so
+    the checkpoint-keeping step can resolve it back to the source run dir
+    (checkpoint numbers repeat across run dirs — ADVICE round-4)."""
+    best_run = (-1.0, None, None)
     best_draw = (-1.0, None)
     # tolerate malformed/partial files per-file: a missing 'checkpoint',
     # non-dict JSON root, or non-numeric p must skip the file, not crash
@@ -64,7 +67,8 @@ def headline(dest: str):
                 for rec in json.load(fh).get("results", []):
                     p = rec.get("combined_pvalue", 0.0)
                     if p > best_run[0]:
-                        best_run = (p, str(rec.get("checkpoint", "?")))
+                        best_run = (p, str(rec.get("checkpoint", "?")),
+                                    os.path.basename(f))
         except (OSError, ValueError, KeyError, AttributeError, TypeError):
             continue
     for f in glob.glob(os.path.join(dest, "draws*ckpt*.json")):
@@ -78,7 +82,8 @@ def headline(dest: str):
     return best_run, best_draw
 
 
-def _keep_headline_ckpt(pairs, dest: str, run_ck, draw_f) -> str | None:
+def _keep_headline_ckpt(pairs, dest: str, run_ck, draw_f,
+                        src_map=None, run_f=None) -> str | None:
     """Copy the headline checkpoint's params into the archive.
 
     Round-3 postmortem: `runs/` is wiped on machine hand-offs, so the
@@ -87,18 +92,37 @@ def _keep_headline_ckpt(pairs, dest: str, run_ck, draw_f) -> str | None:
     can never run without retraining.  Keeping the one headline
     ``model.ckpt`` per archived row (~20-120 MB) makes every future row
     permanently re-batteryable from git alone.
+
+    Checkpoint numbers repeat across a workdir's run dirs (continuations
+    re-count from their resume epoch under ``save_model_every``), so the
+    params MUST come from the run dir that produced the headline file —
+    ``src_map`` maps archived file names back to their source run dirs
+    (ADVICE round-4 medium).  Other run dirs are only a fallback, with a
+    warning, when the headline's own dir lost its checkpoint.
     """
     ck = None
+    headline_file = None
     if draw_f:  # draws_ckptNN.json / draws2_ckptNN.json -> NN
         m = re.search(r"ckpt(\d+)", draw_f)
         ck = m.group(1) if m else None
+        headline_file = draw_f
     if ck is None:
         ck = run_ck
+        headline_file = run_f
     if ck is None:
         return None
-    for rd, _files in reversed(pairs):  # newest run dir first
+    candidates = [rd for rd, _files in reversed(pairs)]  # newest first
+    preferred = (src_map or {}).get(headline_file)
+    if preferred in candidates:
+        candidates.remove(preferred)
+        candidates.insert(0, preferred)
+    for rd in candidates:
         src = os.path.join(rd, "checkpoints", str(ck), "model.ckpt")
         if os.path.exists(src):
+            if preferred is not None and rd != preferred:
+                print(f"archive_row: WARNING headline run dir {preferred} "
+                      f"has no checkpoint {ck}; keeping params from {rd} "
+                      "(may be a different trajectory)", file=sys.stderr)
             out = os.path.join(dest, f"ckpt_{ck}_model.ckpt")
             shutil.copy2(src, out)
             return out
@@ -131,17 +155,21 @@ def main(argv=None) -> int:
         for old in glob.glob(os.path.join(dest, pat)):
             os.remove(old)
     sources = []
+    src_map = {}  # archived file name -> source run dir (ADVICE round-4)
     for i, (rd, files) in enumerate(pairs):
         suffix = "" if len(pairs) == 1 else f"_{i}"
         for src, name in files:
             base, ext = os.path.splitext(name)
-            shutil.copy2(src, os.path.join(dest, f"{base}{suffix}{ext}"))
+            archived = f"{base}{suffix}{ext}"
+            shutil.copy2(src, os.path.join(dest, archived))
+            src_map[archived] = rd
         sources.append(os.path.relpath(rd, args.workdir))
 
-    (run_p, run_ck), (draw_p, draw_f) = headline(dest)
+    (run_p, run_ck, run_f), (draw_p, draw_f) = headline(dest)
     kept = None
     if not args.no_keep_ckpt:
-        kept = _keep_headline_ckpt(pairs, dest, run_ck, draw_f)
+        kept = _keep_headline_ckpt(pairs, dest, run_ck, draw_f,
+                                   src_map=src_map, run_f=run_f)
     with open(os.path.join(dest, "README.md"), "w") as fh:
         fh.write(f"# {args.dest}\n\n")
         if args.note:

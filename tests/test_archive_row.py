@@ -89,6 +89,45 @@ def test_archive_row_keeps_headline_ckpt(tmp_path):
     assert not (results / "rownk" / "ckpt_50_model.ckpt").exists()
 
 
+def test_archive_row_keeps_ckpt_from_headline_run_dir(tmp_path):
+    """Checkpoint numbers repeat across a workdir's run dirs (continuation
+    runs re-count under save_model_every).  The kept params must come from
+    the run dir that produced the headline battery, not simply the newest
+    dir holding that number (ADVICE round-4 medium)."""
+    wd = tmp_path / "wd"
+    # older run dir wins the battery headline at ckpt 50
+    rd_old = _mk_run(wd, "2026-01-01_00-00-00__a", 1e-4, 9e-3)
+    ck = rd_old / "checkpoints" / "50"
+    ck.mkdir(parents=True)
+    (ck / "model.ckpt").write_bytes(b"headline-params")
+    # newer run dir also has a checkpoint 50 (different trajectory)
+    rd_new = _mk_run(wd, "2026-01-02_00-00-00__b", 1e-5, 1e-6)
+    ck2 = rd_new / "checkpoints" / "50"
+    ck2.mkdir(parents=True)
+    (ck2 / "model.ckpt").write_bytes(b"other-params")
+    results = tmp_path / "results"
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(wd), "--dest", "rowh",
+         "--results-dir", str(results)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    kept = results / "rowh" / "ckpt_50_model.ckpt"
+    assert kept.read_bytes() == b"headline-params"
+
+    # when the headline dir lost its checkpoint, fall back with a warning
+    (ck / "model.ckpt").unlink()
+    r = subprocess.run(
+        [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
+         "--workdir", str(wd), "--dest", "rowh2",
+         "--results-dir", str(results)],
+        capture_output=True, text=True, timeout=60)
+    assert r.returncode == 0, r.stderr
+    assert (results / "rowh2" / "ckpt_50_model.ckpt").read_bytes() == \
+        b"other-params"
+    assert "WARNING" in r.stderr
+
+
 def test_archive_row_empty_workdir_fails(tmp_path):
     r = subprocess.run(
         [sys.executable, os.path.join(REPO, "scripts", "archive_row.py"),
