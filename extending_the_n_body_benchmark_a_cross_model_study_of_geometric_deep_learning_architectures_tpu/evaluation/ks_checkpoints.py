@@ -53,6 +53,15 @@ def load_checkpoint_pvalues(
         per[key] = p
         if p == p and p > 0.0:
             pvals.append(p)
+    # first-party extension macro: scored in place of the NaN-gated group
+    # macro above the N gate, recorded-only otherwise (metrics/ks.py rule)
+    if "stuck_cluster_size" in data:
+        p_ext = ks_p(data["stuck_cluster_size"]["ground truth"],
+                     data["stuck_cluster_size"]["predicted"])
+        per["stuck_cluster_size"] = p_ext
+        group = per.get("group_collision_count", float("nan"))
+        if group != group and p_ext == p_ext and p_ext > 0.0:
+            pvals.append(p_ext)
     energy_path = os.path.join(ckpt_dir, "nbody_macro_metrics.json")
     if os.path.exists(energy_path):
         try:
@@ -75,6 +84,7 @@ def gt_baseline_pvalues(
     (``ks_test_model_checkpoints.py:171-188``).  Each sample compares the
     macros of two *independent* fresh trajectory batches."""
     from ..metrics import macros as M
+    from ..metrics.ks import macro_ks_pvalues
 
     out = []
     for _ in range(n_pairs):
@@ -82,8 +92,8 @@ def gt_baseline_pvalues(
         loc2, vel2, *_ = dataset.get_ground_truth_trajectories(batch_size)
         g1 = M.compute_all_macros(np.asarray(loc1), np.asarray(vel1))
         g2 = M.compute_all_macros(np.asarray(loc2), np.asarray(vel2))
-        pvals = [ks_p(g1[k], g2[k]) for k in SCORED_MACROS]
-        out.append(fisher_combine(pvals))
+        _, combined = macro_ks_pvalues(g1, g2)
+        out.append(combined)
     return out
 
 

@@ -20,12 +20,14 @@ import numpy as np
 from ..core.physics import GravityParams
 from ..data.gravity_otf import GravityDatasetOtf
 from ..metrics import macros as M
-from ..metrics.ks import SCORED_MACROS, fisher_combine, ks_p
+from ..metrics.ks import SCORED_MACROS, combine_scored, ks_p
 
-# per-macro noise-floor stats cover com_movement too, but the combined
-# floor below uses exactly the six SCORED_MACROS so it is distributed
-# identically (chi2, 12 dof) to the scoreboard's combined p-value
-MACRO_KEYS = SCORED_MACROS + ["com_movement"]
+# per-macro noise-floor stats cover com_movement and the first-party
+# stuck_cluster_size extension too; the combined floor below uses
+# combine_scored (the published six-macro basis, with stuck_cluster_size
+# substituting for the NaN-gated group macro above the N gate) so it is
+# distributed identically to the scoreboard's combined p-value
+MACRO_KEYS = SCORED_MACROS + ["com_movement", "stuck_cluster_size"]
 
 
 def _hist_divergences(a: np.ndarray, b: np.ndarray, bins: int = 20):
@@ -78,7 +80,7 @@ def baseline_metamacros(
         for k, v in stats.items()
     }
     combined_floor = [
-        fisher_combine([stats[k]["ks_p"][idx] for k in SCORED_MACROS])
+        combine_scored({k: stats[k]["ks_p"][idx] for k in MACRO_KEYS})
         for idx in range(len(stats[MACRO_KEYS[0]]["ks_p"]))
     ]
     out = {"per_macro": summary, "combined_pvalues": combined_floor}
@@ -171,7 +173,7 @@ def compare_dt(
         per = {k: ks_p(base[k], mac[k]) for k in MACRO_KEYS}
         results[dt] = {
             "per_macro_ks_p": per,
-            "combined": fisher_combine([per[k] for k in SCORED_MACROS]),
+            "combined": combine_scored(per),
             "sim_length": sim_length,
             "sample_freq": sample_freq,
             "frame_spacing": actual_spacing,

@@ -35,6 +35,9 @@ MACRO_FILES = {
     "sharp_turn_45_distribution.json": "sharp_turn_count_45",
     "max_com_distance_distribution.json": "com_movement",
     "group_collision_distribution.json": "group_collision_count",
+    # first-party large-N extension (round-5): scored in place of the
+    # NaN-gated group macro above NBX_GROUP_MACRO_MAX_N bodies (metrics/ks.py)
+    "stuck_cluster_distribution.json": "stuck_cluster_size",
 }
 
 TITLE_SUFFIXES = ("ground truth", "predicted")
@@ -49,6 +52,8 @@ def write_macro_jsons(
     os.makedirs(save_dir, exist_ok=True)
     ts = timestamp or datetime.now().isoformat()
     for fname, field in MACRO_FILES.items():
+        if field not in gt_macros or field not in pred_macros:
+            continue  # optional extension macros may be absent
         data = {
             "ground truth": {"timestamp": ts, field: np.asarray(gt_macros[field]).tolist()},
             "predicted": {"timestamp": ts, field: np.asarray(pred_macros[field]).tolist()},

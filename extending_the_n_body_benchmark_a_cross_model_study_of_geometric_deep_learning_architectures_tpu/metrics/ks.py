@@ -72,9 +72,33 @@ def macro_ks_pvalues(
     Keys follow ``utils/hpo_metrics.py:MACRO_FILES`` (the six scored macros;
     ``com_movement`` is recorded but not part of the reference's combined
     score, so it is excluded from the combination here too).
+
+    Above the group-macro N gate (``NBX_GROUP_MACRO_MAX_N``, PARITY.md) the
+    reference's ``group_collision_count`` is NaN and Fisher would combine
+    only five distributions; when the first-party ``stuck_cluster_size``
+    macro is present it is scored IN ITS PLACE, restoring a six-macro basis
+    at the bench shape.  At N≤gate the published six-macro basis is
+    untouched (the extension p is recorded but not combined).
     """
     per: Dict[str, float] = {}
     for key in SCORED_MACROS:
         per[key] = ks_p(gt.get(key, []), pred.get(key, []))
-    combined = fisher_combine(list(per.values()))
-    return per, combined
+    if "stuck_cluster_size" in gt or "stuck_cluster_size" in pred:
+        per["stuck_cluster_size"] = ks_p(
+            gt.get("stuck_cluster_size", []), pred.get("stuck_cluster_size", [])
+        )
+    return per, combine_scored(per)
+
+
+def combine_scored(per: Dict[str, float]) -> float:
+    """Fisher-combine a per-macro p-value dict under the published-basis
+    rule: the six ``SCORED_MACROS``, with ``stuck_cluster_size``
+    substituting for ``group_collision_count`` when the latter is NaN
+    (the N>``NBX_GROUP_MACRO_MAX_N`` gate, PARITY.md).  Single source of
+    truth for every combined-p consumer (in-run, post-hoc, GT-GT floors)."""
+    vals = [per.get(k, float("nan")) for k in SCORED_MACROS]
+    group = per.get("group_collision_count", float("nan"))
+    ext = per.get("stuck_cluster_size", float("nan"))
+    if group != group and ext == ext:
+        vals.append(ext)
+    return fisher_combine(vals)

@@ -220,6 +220,76 @@ def count_group_collisions(
     return counts
 
 
+def stuck_cluster_sizes(
+    loc: np.ndarray, time_threshold: int = 2, distance_threshold: float = 2.0
+) -> np.ndarray:
+    """Per-sim time-mean size of the largest *stuck cluster*.
+
+    First-party large-N extension (round-5; no reference analogue — the
+    reference's contact-topology macro is the pair-meets-triplet
+    ``count_group_collisions``, ``visualization_utils.py:1455-1610``, which
+    is Θ(C(N,2)·C(N,3)) by construction and is NaN-gated above
+    ``NBX_GROUP_MACRO_MAX_N`` bodies, see PARITY.md).  This macro keeps the
+    same *stuck-pair* primitive (contact = pairwise distance ≤ 2.0; a pair
+    is stuck at step t iff the contact run containing t lasts ≥ 2 steps,
+    exactly ``_runs_from_bool`` membership) but summarises the contact
+    topology through connected components instead of combination counts:
+
+      per step t: build the graph over bodies whose edges are the
+      currently-stuck pairs; the step statistic is the size of its largest
+      connected component (0 when nothing is stuck);
+      per sim: the mean of that statistic over all T steps.
+
+    O(T·N²·α) via union-find (C++ twin) / min-label propagation (here), so
+    it stays exact and cheap at the bench shape where the group macro
+    saturates.  At N=5 it reduces to the reference's stuck-pair/triplet
+    vocabulary: one stuck pair over k steps scores 2k/T, a stuck triplet
+    3k/T, a disjoint pair+triplet 3k/T (largest component) — the same
+    events the group macro enumerates, summarised by size instead of
+    combination count.
+
+    Args:
+      loc: ``[S, T, N, 3]``.
+    Returns:
+      ``[S]`` float array (mean largest stuck-cluster size per sim).
+    """
+    num_sims, num_steps, n, _ = loc.shape
+    dist, pairs = _pair_distances(loc)  # [S,T,P]
+    contact = dist <= distance_threshold
+    # pair stuck at t <=> the contact run containing t has total length >= L
+    # (run length = forward streak + backward streak - 1)
+    fwd = _streak_lengths(contact)
+    bwd = _streak_lengths(contact[:, ::-1])[:, ::-1]
+    stuck = np.where(contact, fwd + bwd - 1, 0) >= time_threshold  # [S,T,P]
+
+    i_idx = np.array([p[0] for p in pairs])
+    j_idx = np.array([p[1] for p in pairs])
+    out = np.zeros(num_sims)
+    # chunk over time to bound the [S,chunk,N,N] adjacency memory at big N
+    chunk = max(1, int(2e7 // max(1, num_sims * n * n)))
+    for t0 in range(0, num_steps, chunk):
+        st = stuck[:, t0:t0 + chunk]  # [S,C,P]
+        c = st.shape[1]
+        adj = np.zeros((num_sims, c, n, n), dtype=bool)
+        adj[:, :, i_idx, j_idx] = st
+        adj |= np.swapaxes(adj, -1, -2)
+        active = adj.any(-1)  # [S,C,N]
+        labels = np.broadcast_to(np.arange(n), (num_sims, c, n)).copy()
+        for _ in range(n):  # min-label propagation, early fixpoint exit
+            neigh = np.where(adj, labels[:, :, None, :], n).min(-1)
+            new = np.minimum(labels, neigh)
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        sizes = np.zeros((num_sims, c, n), dtype=np.int64)
+        s_i = np.arange(num_sims)[:, None, None]
+        t_i = np.arange(c)[None, :, None]
+        np.add.at(sizes, (np.broadcast_to(s_i, labels.shape),
+                          np.broadcast_to(t_i, labels.shape), labels), active)
+        out += sizes.max(-1).sum(axis=1)
+    return out / float(num_steps)
+
+
 def compute_all_macros(loc: np.ndarray, vel: np.ndarray) -> Dict[str, np.ndarray]:
     """All per-sim macro statistics for one trajectory batch.
 
@@ -268,4 +338,8 @@ def compute_all_macros(loc: np.ndarray, vel: np.ndarray) -> Dict[str, np.ndarray
         "sharp_turn_count_45": native.count_sharp_turns(vel, 45),
         "com_movement": native.max_com_distance(loc),
         "group_collision_count": group,
+        # first-party O(T*N^2) contact-topology macro — restores a sixth
+        # scored distribution above the group-macro N gate (round-5; see
+        # stuck_cluster_sizes docstring + PARITY.md)
+        "stuck_cluster_size": native.stuck_cluster_sizes(loc),
     }

@@ -49,6 +49,14 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.count_group_collisions.argtypes = [
         dp, i64, i64, i64, ctypes.c_int, ctypes.c_double, dp
     ]
+    try:
+        lib.stuck_cluster_sizes.argtypes = [
+            dp, i64, i64, i64, ctypes.c_int, ctypes.c_double, dp
+        ]
+    except AttributeError:
+        # a pre-round-5 .so without the symbol: the wrapper falls back to
+        # the NumPy twin on its own
+        pass
     _lib = lib
     return _lib
 
@@ -135,6 +143,23 @@ def count_group_collisions(
     S, T, N, _ = loc.shape
     out = np.zeros(S)
     lib.count_group_collisions(
+        _ptr(loc), S, T, N, time_threshold, distance_threshold, _ptr(out)
+    )
+    return out
+
+
+def stuck_cluster_sizes(
+    loc: np.ndarray, time_threshold: int = 2, distance_threshold: float = 2.0
+) -> np.ndarray:
+    lib = get_lib()
+    if lib is None or not hasattr(lib, "stuck_cluster_sizes"):
+        return _numpy_twin("stuck_cluster_sizes")(
+            loc, time_threshold, distance_threshold
+        )
+    loc = _prep(loc)
+    S, T, N, _ = loc.shape
+    out = np.zeros(S)
+    lib.stuck_cluster_sizes(
         _ptr(loc), S, T, N, time_threshold, distance_threshold, _ptr(out)
     )
     return out

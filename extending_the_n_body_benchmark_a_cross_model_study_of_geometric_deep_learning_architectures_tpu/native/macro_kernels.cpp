@@ -291,4 +291,85 @@ void count_group_collisions(const double* loc, int64_t S, int64_t T, int64_t N,
   }
 }
 
+// Per-sim time-mean size of the largest stuck cluster (first-party large-N
+// macro, no reference analogue; NumPy oracle: metrics/macros.py
+// stuck_cluster_sizes).  Stuck-pair primitive matches the group macro's
+// (contact <= dist_thr; pair stuck at t iff its contact run containing t
+// lasts >= time_thr steps); per step, union-find over stuck pairs gives
+// connected components; the step statistic is the largest component size
+// (0 when no pair is stuck) and the sim statistic is its mean over T.
+void stuck_cluster_sizes(const double* loc, int64_t S, int64_t T, int64_t N,
+                         int time_thr, double dist_thr, double* out) {
+  const int64_t P = N * (N - 1) / 2;
+  std::vector<int> pi(P), pj(P);
+  {
+    int64_t k = 0;
+    for (int i = 0; i < N; ++i)
+      for (int j = i + 1; j < N; ++j) {
+        pi[k] = i;
+        pj[k] = j;
+        ++k;
+      }
+  }
+  std::vector<uint8_t> contact(P * T), stuck(P * T);
+  std::vector<int> parent(N), size(N);
+  auto find = [&parent](int x) {
+    while (parent[x] != x) {
+      parent[x] = parent[parent[x]];
+      x = parent[x];
+    }
+    return x;
+  };
+  for (int64_t s = 0; s < S; ++s) {
+    for (int64_t k = 0; k < P; ++k)
+      for (int64_t t = 0; t < T; ++t)
+        contact[k * T + t] =
+            dist3(at(loc, T, N, s, t, pi[k]), at(loc, T, N, s, t, pj[k])) <=
+            dist_thr;
+    // stuck[t] = run containing t has total length >= time_thr
+    for (int64_t k = 0; k < P; ++k) {
+      const uint8_t* c = contact.data() + k * T;
+      uint8_t* st = stuck.data() + k * T;
+      int64_t t = 0;
+      while (t < T) {
+        if (!c[t]) {
+          st[t] = 0;
+          ++t;
+          continue;
+        }
+        int64_t e = t;
+        while (e + 1 < T && c[e + 1]) ++e;
+        const uint8_t v = (e - t + 1) >= time_thr;
+        for (int64_t q = t; q <= e; ++q) st[q] = v;
+        t = e + 1;
+      }
+    }
+    double acc = 0;
+    for (int64_t t = 0; t < T; ++t) {
+      for (int64_t n = 0; n < N; ++n) {
+        parent[n] = static_cast<int>(n);
+        size[n] = 1;
+      }
+      bool any = false;
+      for (int64_t k = 0; k < P; ++k) {
+        if (!stuck[k * T + t]) continue;
+        any = true;
+        int a = find(pi[k]), b = find(pj[k]);
+        if (a != b) {
+          if (size[a] < size[b]) std::swap(a, b);
+          parent[b] = a;
+          size[a] += size[b];
+        }
+      }
+      if (any) {
+        int best = 0;
+        for (int64_t n = 0; n < N; ++n)
+          if (parent[n] == n && size[n] > best) best = size[n];
+        if (best >= 2) acc += best;
+      }
+    }
+    out[s] = acc / static_cast<double>(T);
+  }
+}
+
 }  // extern "C"

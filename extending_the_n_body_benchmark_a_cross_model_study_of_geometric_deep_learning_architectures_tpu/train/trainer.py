@@ -612,7 +612,15 @@ class Trainer:
         _log_p("self_feed/ks_macros_combined", macro_combined)
         _log_p(
             "self_feed/ks_all_combined",
-            fisher_combine(list(pvals.values()) + list(per_macro.values())),
+            # energy + the reference's macro set; the first-party
+            # stuck_cluster_size extension is excluded here so this
+            # diagnostic stays comparable with pre-round-5 run logs (it
+            # joins the published combination only via combine_scored's
+            # group-macro substitution rule)
+            fisher_combine(
+                list(pvals.values())
+                + [v for k, v in per_macro.items() if k != "stuck_cluster_size"]
+            ),
         )
         self.logger.log(payload)
         print(

@@ -223,3 +223,135 @@ def test_group_macro_gated_above_max_n(monkeypatch):
     monkeypatch.setenv("NBX_GROUP_MACRO_MAX_N", "64")
     m2 = macros.compute_all_macros(loc, vel)  # raised gate -> computed
     assert not np.isnan(m2["group_collision_count"]).any()
+
+
+# ---- first-party stuck-cluster macro (round 5) -----------------------------
+
+
+def ref_stuck_cluster(loc, time_threshold=2, distance_threshold=2.0):
+    """Brute-force oracle: per step, BFS components over currently-stuck
+    pairs (contact run containing t lasts >= time_threshold)."""
+    num_sims, num_steps, n, _ = loc.shape
+    out = np.zeros(num_sims)
+    for s in range(num_sims):
+        contact = np.zeros((num_steps, n, n), dtype=bool)
+        for t in range(num_steps):
+            for i in range(n):
+                for j in range(i + 1, n):
+                    d = np.linalg.norm(loc[s, t, i] - loc[s, t, j])
+                    contact[t, i, j] = contact[t, j, i] = d <= distance_threshold
+        # run length containing t, per pair
+        stuck = np.zeros_like(contact)
+        for i in range(n):
+            for j in range(i + 1, n):
+                t = 0
+                while t < num_steps:
+                    if not contact[t, i, j]:
+                        t += 1
+                        continue
+                    e = t
+                    while e + 1 < num_steps and contact[e + 1, i, j]:
+                        e += 1
+                    if e - t + 1 >= time_threshold:
+                        stuck[t:e + 1, i, j] = stuck[t:e + 1, j, i] = True
+                    t = e + 1
+        acc = 0.0
+        for t in range(num_steps):
+            seen = set()
+            best = 0
+            for i in range(n):
+                if i in seen or not stuck[t, i].any():
+                    continue
+                comp, stack = set(), [i]
+                while stack:
+                    x = stack.pop()
+                    if x in comp:
+                        continue
+                    comp.add(x)
+                    stack.extend(np.nonzero(stuck[t, x])[0].tolist())
+                seen |= comp
+                best = max(best, len(comp))
+            acc += best
+        out[s] = acc / num_steps
+    return out
+
+
+def test_stuck_cluster_reduces_to_pair_triplet_at_n5():
+    """At N=5 the macro speaks the reference's stuck-pair/triplet vocabulary
+    (group macro's primitives, visualization_utils.py:1455-1610): one stuck
+    pair over k steps scores 2k/T, a stuck triplet 3k/T, and a disjoint
+    pair+triplet takes the larger component (3k/T)."""
+    T, n = 10, 5
+    base = np.zeros((1, T, n, 3))
+    for b in range(n):
+        base[0, :, b, 0] = b * 10.0  # all isolated
+
+    pair = base.copy()
+    pair[0, 2:6, 1, 0] = pair[0, 2:6, 0, 0] + 1.0  # 0-1 stuck 4 steps
+    np.testing.assert_allclose(macros.stuck_cluster_sizes(pair), [2 * 4 / T])
+
+    trip = base.copy()
+    trip[0, 3:8, 1, 0] = trip[0, 3:8, 0, 0] + 1.0
+    trip[0, 3:8, 2, 0] = trip[0, 3:8, 0, 0] + 0.5  # 0-1-2 stuck 5 steps
+    np.testing.assert_allclose(macros.stuck_cluster_sizes(trip), [3 * 5 / T])
+
+    both = base.copy()
+    both[0, 2:6, 1, 0] = both[0, 2:6, 0, 0] + 1.0      # pair 0-1
+    both[0, 2:6, 3, 0] = both[0, 2:6, 2, 0] + 1.0      # triplet 2-3-4
+    both[0, 2:6, 4, 0] = both[0, 2:6, 2, 0] + 0.5
+    np.testing.assert_allclose(macros.stuck_cluster_sizes(both), [3 * 4 / T])
+
+    # a single-step contact (< time_threshold) is not stuck
+    brief = base.copy()
+    brief[0, 4, 1, 0] = brief[0, 4, 0, 0] + 1.0
+    np.testing.assert_allclose(macros.stuck_cluster_sizes(brief), [0.0])
+
+
+def test_stuck_cluster_matches_bruteforce_oracle():
+    loc, _ = clustered_walk(num_sims=3, num_steps=40, n=6, seed=3)
+    np.testing.assert_allclose(
+        macros.stuck_cluster_sizes(loc), ref_stuck_cluster(loc)
+    )
+
+
+def test_stuck_cluster_in_compute_all_and_substitution(monkeypatch):
+    """compute_all_macros always emits stuck_cluster_size; above the group
+    gate the KS combination substitutes it for the NaN group macro (six
+    scored distributions at the bench shape), below the gate the published
+    six-macro combination is bit-unchanged."""
+    rng = np.random.RandomState(1)
+    loc = rng.randn(6, 25, 40, 3) * 3.0
+    vel = rng.randn(6, 25, 40, 3)
+    monkeypatch.setenv("NBX_GROUP_MACRO_MAX_N", "32")
+    g1 = macros.compute_all_macros(loc, vel)
+    g2 = macros.compute_all_macros(loc + rng.randn(*loc.shape) * 0.05, vel)
+    assert "stuck_cluster_size" in g1
+    assert np.isnan(g1["group_collision_count"]).all()
+    per, combined = ks.macro_ks_pvalues(g1, g2)
+    assert per["stuck_cluster_size"] == per["stuck_cluster_size"]  # valid
+    # six distributions combined: five ungated + the substitute
+    vals = [per[k] for k in ks.SCORED_MACROS if per[k] == per[k]]
+    assert len(vals) == 5
+    assert combined == ks.fisher_combine(vals + [per["stuck_cluster_size"]])
+
+    # below the gate: combination identical to the published basis
+    loc5, vel5 = clustered_walk(num_sims=8, seed=4)
+    m1 = macros.compute_all_macros(loc5, vel5)
+    m2 = macros.compute_all_macros(loc5 + 0.01, vel5)
+    per5, comb5 = ks.macro_ks_pvalues(m1, m2)
+    assert comb5 == ks.fisher_combine([per5[k] for k in ks.SCORED_MACROS])
+
+
+def test_stuck_cluster_artifact_roundtrip(tmp_path):
+    loc, vel = clustered_walk(num_sims=6, seed=5)
+    g = macros.compute_all_macros(loc, vel)
+    artifacts.write_macro_jsons(str(tmp_path), g, g)
+    assert os.path.exists(tmp_path / "stuck_cluster_distribution.json")
+    back = artifacts.read_macro_jsons(str(tmp_path))
+    np.testing.assert_allclose(
+        back["stuck_cluster_size"]["ground truth"], g["stuck_cluster_size"]
+    )
+    # writers tolerate dicts without the extension macro (older callers)
+    g2 = {k: v for k, v in g.items() if k != "stuck_cluster_size"}
+    artifacts.write_macro_jsons(str(tmp_path / "old"), g2, g2)
+    assert not os.path.exists(tmp_path / "old" / "stuck_cluster_distribution.json")

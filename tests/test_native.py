@@ -103,3 +103,18 @@ def test_wrappers_fall_back_without_native(monkeypatch):
     np.testing.assert_array_equal(
         native.count_group_collisions(loc), M.count_group_collisions(loc)
     )
+
+
+def test_stuck_cluster_sizes_match():
+    loc = walk(seed=7, S=6, T=80, N=7)
+    np.testing.assert_allclose(
+        native.stuck_cluster_sizes(loc), M.stuck_cluster_sizes(loc)
+    )
+    assert native.stuck_cluster_sizes(loc).sum() > 0
+
+
+def test_stuck_cluster_sizes_match_large_n():
+    loc = walk(seed=8, S=2, T=30, N=48, scale=0.3)
+    np.testing.assert_allclose(
+        native.stuck_cluster_sizes(loc), M.stuck_cluster_sizes(loc)
+    )
