@@ -557,7 +557,53 @@ def main() -> None:
                 f"{agg_sps*agg_batch:.0f} sim-steps/s")
         except Exception as e:
             log(f"aggregate measurement failed (non-fatal): {e!r}")
+
+    # Trained-params leg (round-5, VERDICT item 6): the headline's
+    # survived_min attests numerical stability of the compiled rollout with
+    # RANDOM-INIT params; this leg re-rolls the winning config with the
+    # committed N=100-trained egnn_mc checkpoint (docs/results/
+    # fidelity_n100*) so the survival stat is also grounded in a real
+    # trained model at the bench shape.  Same synthetic scene as the
+    # random-init leg (apples-to-apples).  Non-fatal; skip with
+    # BENCH_SKIP_TRAINED=1 or override via BENCH_TRAINED_CKPT.
+    if (
+        on_tpu
+        and MODEL == "egnn_mc"
+        and os.environ.get("BENCH_SKIP_TRAINED") != "1"
+    ):
+        try:
+            ckpt = os.environ.get("BENCH_TRAINED_CKPT") or _trained_ckpt_path()
+            if ckpt:
+                from extending_the_n_body_benchmark_a_cross_model_study_of_geometric_deep_learning_architectures_tpu.train.checkpoint import (
+                    load_checkpoint,
+                )
+
+                tparams = load_checkpoint(ckpt)["params"]
+                use_pallas, dt_, tile, cdt, extra = specs[best_name]
+                _, smin_t = measure(
+                    use_pallas, dt_, tparams, tile,
+                    f"{best_name}-trainedckpt", cdt, extra,
+                )
+                payload["survived_min_trained"] = smin_t
+                payload["trained_ckpt"] = os.path.relpath(
+                    ckpt, os.path.dirname(os.path.abspath(__file__))
+                )
+                log(f"trained-ckpt leg: survived_min {smin_t} ({ckpt})")
+        except Exception as e:
+            log(f"trained-ckpt leg failed (non-fatal): {e!r}")
     emit(payload)
+
+
+def _trained_ckpt_path():
+    """Newest committed N=100-trained egnn_mc checkpoint, or None."""
+    import glob
+
+    root = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "docs", "results"
+    )
+    cands = glob.glob(os.path.join(root, "fidelity_n100*", "*model.ckpt")) + \
+        glob.glob(os.path.join(root, "egnn_n100*", "ckpt_*_model.ckpt"))
+    return max(cands, key=os.path.getmtime) if cands else None
 
 
 def _tpu_busy() -> bool:
