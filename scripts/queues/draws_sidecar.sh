@@ -29,6 +29,7 @@ while [ ! -e "$ROOT/.draws_sidecar_stop" ] && [ "$(date +%s)" -lt "$DEADLINE" ];
   fi
   napped=0
   CHANGED=0
+  DESTS=""
   # every completed battery summary (+ its per-draw ks payloads are tiny
   # JSONs too, but the summary alone re-derives the headline numbers)
   for f in "$ROOT"/*/runs/*/*/draws*_ckpt*/self_feed_draws.json; do
@@ -48,13 +49,20 @@ while [ ! -e "$ROOT/.draws_sidecar_stop" ] && [ "$(date +%s)" -lt "$DEADLINE" ];
         mkdir -p "$dd" && cp "$d" "$dd/"
       done
       CHANGED=1
+      # literal dir paths: a wildcard pathspec ('*_partial/draws') only
+      # dir-prefix-matches when it has no glob magic, so `git add` with
+      # the glob finds nothing (observed 21:49Z) — add each concrete dir
+      case " $DESTS " in
+        *" docs/results/${tag}_partial/draws "*) ;;
+        *) DESTS="$DESTS docs/results/${tag}_partial/draws" ;;
+      esac
       echo "[draws-sidecar] mirrored $battery_dir -> $dest"
     fi
   done
   [ "$CHANGED" = 1 ] || continue
   TMPIDX=$(mktemp -u "$REPO/.git/draws_index.XXXXXX")
   if ! ADD_ERR=$(GIT_INDEX_FILE="$TMPIDX" sh -c \
-      "git -C '$REPO' read-tree HEAD && git -C '$REPO' add 'docs/results/*_partial/draws'" 2>&1); then
+      "git -C '$REPO' read-tree HEAD && git -C '$REPO' add $DESTS" 2>&1); then
     echo "[draws-sidecar] git add failed (retry next cycle): $ADD_ERR"
     rm -f "$TMPIDX"; continue
   fi
