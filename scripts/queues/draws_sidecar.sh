@@ -37,6 +37,8 @@ while [ ! -e "$ROOT/.draws_sidecar_stop" ] && [ "$(date +%s)" -lt "$DEADLINE" ];
     battery_dir=$(dirname "$f")                     # .../draws_ckptNN
     run_dir=$(dirname "$battery_dir")               # .../<run>
     tag=$(basename "$(dirname "$(dirname "$(dirname "$run_dir")")")")
+    # already archived into the final row by archive_row.py -> nothing to protect
+    [ -f "$REPO/docs/results/${tag}/$(basename "$battery_dir").json" ] && continue
     dest="$REPO/docs/results/${tag}_partial/draws/$(basename "$battery_dir")"
     if [ ! -f "$dest/self_feed_draws.json" ] || \
        [ "$f" -nt "$dest/self_feed_draws.json" ]; then
